@@ -1,0 +1,76 @@
+"""Render configuration.
+
+The reference hard-codes every knob as a compile-time constant (resolution at
+src/main.rs:9-10, sh_dim=15 at src/pipelines.rs:100,189, the low-pass filter
+values at src/gaussians.rs:156-157 and :517-518, fovy/znear/zfar at
+src/camera.rs:24-28).  Here each one is a named, documented field.
+
+All fields are *static* with respect to jit: a new config triggers a
+recompile, which is the intended usage (configs change rarely; camera pose
+changes every frame and is a traced input).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static configuration for the renderer.
+
+    Attributes:
+      sh_degree: spherical-harmonics degree used for view-dependent color,
+        0..3.  The reference renderer evaluates only degrees 0-2 because both
+        pipelines pass ``sh_dim=15`` (src/pipelines.rs:100,189) even though
+        all 48 coefficients are loaded; we default to the full degree 3 like
+        the notebook prototype, and ``sh_degree=2`` reproduces the Rust
+        behavior.
+      lowpass: value added to the diagonal of the projected 2D covariance so
+        every splat is at least ~1 px wide.  The reference is internally
+        inconsistent: 0.01 in the AoS path (src/gaussians.rs:156-157) vs 0.3
+        in the SoA path (src/gaussians.rs:517-518) and the notebook.  We
+        default to 0.3 (the notebook/SoA convention — our parity oracle).
+      alpha_clamp: upper clamp on per-splat alpha (reference:
+        src/pipelines.rs:139 ``0.99f32.min(alpha * power.exp())``).
+      alpha_min: splats contributing less than this alpha are skipped
+        (reference: src/pipelines.rs:140-143, 1/255).
+      tile_px: square tile edge in pixels for the tile-binned rasterizer.
+      block_shape: (sublanes, lanes) layout of one tile's pixels inside the
+        Pallas kernel; product must equal tile_px**2.
+      max_dup_factor: capacity of the (gaussian, tile) duplication buffer as
+        a multiple of N.  The INRIA-style binning produces a data-dependent
+        number of pairs; XLA needs a static bound.  Overflow is detected and
+        reported (never silently truncated).
+      chunk: gaussians DMA'd/composited per inner-loop step in the kernel.
+      gamma/background: output post-processing — background color composited
+        under the accumulated transmittance (reference clears to black,
+        src/main.rs:73).
+    """
+
+    sh_degree: int = 3
+    lowpass: float = 0.3
+    alpha_clamp: float = 0.99
+    alpha_min: float = 1.0 / 255.0
+    tile_px: int = 32
+    max_dup_factor: int = 16
+    chunk: int = 256
+    background: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # Radius of the splat bounding box in standard deviations.  The reference
+    # uses 3-sigma quads (src/pipelines.rs:27).
+    sigma_cutoff: float = 3.0
+
+    def __post_init__(self):
+        if not (0 <= self.sh_degree <= 3):
+            raise ValueError(f"sh_degree must be in [0,3], got {self.sh_degree}")
+        if self.tile_px % 8 != 0:
+            raise ValueError(f"tile_px must be a multiple of 8, got {self.tile_px}")
+
+    @property
+    def block_shape(self) -> tuple[int, int]:
+        """(sublane, lane) shape a tile's pixels are viewed as in the kernel."""
+        n = self.tile_px * self.tile_px
+        lanes = 128
+        if n % lanes:
+            raise ValueError(f"tile_px^2 ={n} not a multiple of 128")
+        return (n // lanes, lanes)

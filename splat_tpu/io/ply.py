@@ -1,0 +1,227 @@
+"""3D-Gaussian-Splatting PLY reader/writer (host side, NumPy).
+
+Replaces the reference's ply-rs/plyfile loaders (reference:
+src/gaussians.rs:246-283 + :375-405, notes/util_gau.py:63-109) with a single
+vectorized binary parser.  Field semantics preserved exactly:
+
+* ``x/y/z``            -> positions, then **mean-centered** across the scene
+  (src/gaussians.rs:394-402);
+* ``scale_0..2``       -> exp-activated scales (src/gaussians.rs:265-267);
+* ``opacity``          -> sigmoid-activated (src/gaussians.rs:268);
+* ``rot_0..3``         -> scalar-first quaternion (w, x, y, z), normalized
+  (src/gaussians.rs:269-272, notes/util_gau.py:100);
+* ``f_dc_0..2``        -> sh[:, 0, :];
+* ``f_rest_0..44``     -> sh[:, 1:, :] after the channel-major ->
+  coefficient-major transpose: the file stores all 15 R coefficients, then
+  all 15 G, then all 15 B (notes/util_gau.py:82-84 reshapes (N,3,15) and
+  transposes to (N,15,3)).
+
+Unlike the reference (``unwrap()``/``panic!`` on anything unexpected), errors
+raise a typed :class:`PlyError` with a message naming the offending header
+line or field.
+"""
+
+from __future__ import annotations
+
+import io as _io
+import os
+
+import numpy as np
+
+from splat_tpu.scene import GaussianScene
+
+
+class PlyError(ValueError):
+    """Malformed or unsupported PLY content."""
+
+
+_PLY_DTYPES = {
+    "float": "<f4", "float32": "<f4",
+    "double": "<f8", "float64": "<f8",
+    "char": "<i1", "int8": "<i1",
+    "uchar": "<u1", "uint8": "<u1",
+    "short": "<i2", "int16": "<i2",
+    "ushort": "<u2", "uint16": "<u2",
+    "int": "<i4", "int32": "<i4",
+    "uint": "<u4", "uint32": "<u4",
+}
+
+
+def _parse_header(f) -> tuple[str, list[tuple[str, int, list[tuple[str, str]]]]]:
+    """Returns (format, [(element_name, count, [(prop_name, dtype), ...])])."""
+    magic = f.readline().strip()
+    if magic != b"ply":
+        raise PlyError(f"not a PLY file (magic={magic!r})")
+    fmt = None
+    elements: list[tuple[str, int, list[tuple[str, str]]]] = []
+    while True:
+        line = f.readline()
+        if not line:
+            raise PlyError("unexpected EOF in header")
+        tokens = line.decode("ascii", "replace").strip().split()
+        if not tokens or tokens[0] == "comment":
+            continue
+        if tokens[0] == "format":
+            fmt = tokens[1]
+        elif tokens[0] == "element":
+            elements.append((tokens[1], int(tokens[2]), []))
+        elif tokens[0] == "property":
+            if not elements:
+                raise PlyError("property before any element")
+            if tokens[1] == "list":
+                raise PlyError("list properties are not supported for 3DGS")
+            dt = _PLY_DTYPES.get(tokens[1])
+            if dt is None:
+                raise PlyError(f"unsupported property type {tokens[1]!r}")
+            elements[-1][2].append((tokens[2], dt))
+        elif tokens[0] == "end_header":
+            break
+        else:
+            raise PlyError(f"unrecognized header line: {line!r}")
+    if fmt not in ("binary_little_endian", "binary_big_endian", "ascii"):
+        raise PlyError(f"unsupported format {fmt!r}")
+    return fmt, elements
+
+
+def read_ply_arrays(path: str | os.PathLike) -> dict[str, np.ndarray]:
+    """Read the 'vertex' element of a PLY into a dict of 1-D float32 arrays.
+
+    Raw file values; no activations applied.
+    """
+    with open(path, "rb") as f:
+        fmt, elements = _parse_header(f)
+        out: dict[str, np.ndarray] = {}
+        for name, count, props in elements:
+            dtype = np.dtype([(p, d) for p, d in props])
+            if fmt == "ascii":
+                text = []
+                for _ in range(count):
+                    text.append(f.readline())
+                arr = np.loadtxt(_io.BytesIO(b"".join(text)),
+                                 dtype=np.float64, ndmin=2)
+                if arr.shape != (count, len(props)):
+                    raise PlyError(
+                        f"element {name}: expected {(count, len(props))} "
+                        f"ascii values, got {arr.shape}")
+                rec = np.zeros(count, dtype=dtype)
+                for i, (p, _) in enumerate(props):
+                    rec[p] = arr[:, i]
+            else:
+                buf = f.read(count * dtype.itemsize)
+                if len(buf) < count * dtype.itemsize:
+                    raise PlyError(
+                        f"element {name}: payload truncated "
+                        f"({len(buf)} < {count * dtype.itemsize} bytes)")
+                rec = np.frombuffer(buf, dtype=dtype)
+                if fmt == "binary_big_endian":
+                    rec = rec.byteswap().view(rec.dtype.newbyteorder())
+            if name == "vertex":
+                for p, _ in props:
+                    out[p] = np.ascontiguousarray(rec[p], dtype=np.float32)
+        if not out:
+            raise PlyError("no 'vertex' element found")
+        return out
+
+
+def arrays_to_scene(fields: dict[str, np.ndarray], *,
+                    center: bool = True) -> GaussianScene:
+    """Apply the 3DGS activation pipeline and build a scene (see module doc)."""
+    for req in ("x", "y", "z", "opacity"):
+        if req not in fields:
+            raise PlyError(f"missing required property {req!r}")
+    n = fields["x"].shape[0]
+    xyz = np.stack([fields["x"], fields["y"], fields["z"]], axis=1)
+    if center:
+        xyz = xyz - xyz.mean(axis=0, keepdims=True)
+
+    scales = np.exp(np.stack(
+        [fields.get(f"scale_{i}", np.zeros(n, np.float32)) for i in range(3)],
+        axis=1))
+    opacities = 1.0 / (1.0 + np.exp(-fields["opacity"]))
+    rots = np.stack(
+        [fields.get(f"rot_{i}",
+                    np.full(n, 1.0 if i == 0 else 0.0, np.float32))
+         for i in range(4)], axis=1)
+    rots = rots / np.maximum(
+        np.linalg.norm(rots, axis=1, keepdims=True), 1e-12)
+
+    dc = np.stack([fields.get(f"f_dc_{i}", np.zeros(n, np.float32))
+                   for i in range(3)], axis=1)                  # (N,3)
+    rest_names = sorted((k for k in fields if k.startswith("f_rest_")),
+                        key=lambda k: int(k.split("_")[-1]))
+    if rest_names:
+        num_rest = len(rest_names)
+        if num_rest % 3:
+            raise PlyError(f"f_rest count {num_rest} not divisible by 3")
+        rest = np.stack([fields[k] for k in rest_names], axis=1)  # (N, 3*K)
+        k = num_rest // 3
+        # channel-major in file -> coefficient-major (notes/util_gau.py:82-84)
+        rest = rest.reshape(n, 3, k).transpose(0, 2, 1)           # (N, K, 3)
+    else:
+        rest = np.zeros((n, 15, 3), np.float32)
+    sh = np.concatenate([dc[:, None, :], rest], axis=1)           # (N, 1+K, 3)
+
+    return GaussianScene.create(
+        means=xyz.astype(np.float32), quats=rots.astype(np.float32),
+        scales=scales.astype(np.float32),
+        opacities=opacities.astype(np.float32), sh=sh.astype(np.float32))
+
+
+def load_ply(path: str | os.PathLike, *, center: bool = True) -> GaussianScene:
+    """Load a pretrained 3DGS .ply into an activated SoA scene."""
+    return arrays_to_scene(read_ply_arrays(path), center=center)
+
+
+def save_ply(path: str | os.PathLike, scene: GaussianScene) -> None:
+    """Write a scene back out as a 3DGS-schema binary PLY.
+
+    Inverse activations are applied (log scales, logit opacities) so a
+    round-trip through :func:`load_ply` (with ``center=False``) reproduces
+    the arrays.  Used by tests and the ``trim`` tool.
+    """
+    d = scene.to_numpy()
+    n = d["means"].shape[0]
+    eps = 1e-12
+    op = np.clip(d["opacities"], eps, 1 - eps)
+    cols: list[tuple[str, np.ndarray]] = []
+    for i, name in enumerate("xyz"):
+        cols.append((name, d["means"][:, i]))
+    # normals are part of the standard 3DGS schema; zero like training output
+    for name in ("nx", "ny", "nz"):
+        cols.append((name, np.zeros(n, np.float32)))
+    for i in range(3):
+        cols.append((f"f_dc_{i}", d["sh"][:, 0, i]))
+    rest = d["sh"][:, 1:, :].transpose(0, 2, 1).reshape(n, -1)  # channel-major
+    for i in range(rest.shape[1]):
+        cols.append((f"f_rest_{i}", rest[:, i]))
+    cols.append(("opacity", np.log(op / (1 - op))))
+    for i in range(3):
+        cols.append((f"scale_{i}", np.log(np.maximum(d["scales"][:, i], eps))))
+    for i in range(4):
+        cols.append((f"rot_{i}", d["quats"][:, i]))
+
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element vertex {n}"]
+    header += [f"property float {name}" for name, _ in cols]
+    header.append("end_header")
+    rec = np.zeros(n, dtype=np.dtype([(name, "<f4") for name, _ in cols]))
+    for name, v in cols:
+        rec[name] = v.astype(np.float32)
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode("ascii"))
+        f.write(rec.tobytes())
+
+
+def trim_ply(src: str | os.PathLike, dst: str | os.PathLike,
+             count: int = 3) -> int:
+    """Copy the first ``count`` splats of a PLY into a small fixture file.
+
+    Twin of the reference's ``trim`` binary (src/bin/00_ply_load.rs:9-63).
+    Returns the number of splats written.
+    """
+    fields = read_ply_arrays(src)
+    n = min(count, next(iter(fields.values())).shape[0])
+    scene = arrays_to_scene({k: v[:n] for k, v in fields.items()},
+                            center=False)
+    save_ply(dst, scene)
+    return n

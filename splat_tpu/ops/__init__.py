@@ -1,0 +1,14 @@
+"""Vectorized per-gaussian math: the TPU twin of reference src/gaussians.rs."""
+
+from splat_tpu.ops.transforms import quat_to_rotmat, compute_cov3d
+from splat_tpu.ops.sh import eval_sh, SH_C0
+from splat_tpu.ops.projection import project_gaussians, ProjectedGaussians
+
+__all__ = [
+    "quat_to_rotmat",
+    "compute_cov3d",
+    "eval_sh",
+    "SH_C0",
+    "project_gaussians",
+    "ProjectedGaussians",
+]

@@ -1,0 +1,78 @@
+"""Quaternion / covariance transforms, batched over the gaussian axis.
+
+The reference computes Sigma_3D = R diag(s^2) R^T one gaussian at a time in a
+Rust loop (reference: src/gaussians.rs:101-113 AoS, :446-462 SoA).  Here the
+whole batch is a couple of einsums the XLA fusion engine turns into one pass
+over HBM.
+
+Convention note: the reference's *notebook* computes the transposed ordering
+R^T diag(s^2) R (notes/00_Gaussian_Projection.ipynb cell 1), which is a
+different (still symmetric) matrix.  The active Rust renderer uses
+R diag(s^2) R^T, which is also what the INRIA GLSL derivation in notes.md
+reduces to — we match the Rust renderer.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def quat_to_rotmat(quats: jax.Array) -> jax.Array:
+    """(N, 4) scalar-first quaternions -> (N, 3, 3) rotation matrices.
+
+    Quaternions are normalized first (nalgebra's UnitQuaternion does the same
+    at reference src/gaussians.rs:103; the Python loader normalizes at
+    notes/util_gau.py:100).
+    """
+    q = quats / jnp.maximum(
+        jnp.linalg.norm(quats, axis=-1, keepdims=True), 1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    rows = [
+        jnp.stack([r00, r01, r02], axis=-1),
+        jnp.stack([r10, r11, r12], axis=-1),
+        jnp.stack([r20, r21, r22], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def compute_cov3d(quats: jax.Array, scales: jax.Array) -> jax.Array:
+    """(N,4),(N,3) -> (N,3,3) world-space covariances R diag(s^2) R^T.
+
+    Reference: src/gaussians.rs:101-113 (one gaussian); here batched.
+    """
+    rot = quat_to_rotmat(quats)                    # (N,3,3)
+    # R diag(s^2) R^T  ==  (R*s) (R*s)^T with s broadcast over columns.
+    # HIGHEST precision: these 3-element contractions must stay true f32 —
+    # the TPU default lowers f32 matmuls to bf16 MXU passes, which costs
+    # ~0.5% relative error and blows the 45 dB parity budget.
+    m = rot * scales[..., None, :]                 # scale columns
+    return jnp.einsum("nij,nkj->nik", m, m,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def pack_cov3d(cov: jax.Array) -> jax.Array:
+    """(N,3,3) symmetric -> (N,6) compact (xx, xy, xz, yy, yz, zz)."""
+    return jnp.stack([cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2],
+                      cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2]],
+                     axis=-1)
+
+
+def unpack_cov3d(packed: jax.Array) -> jax.Array:
+    """(N,6) compact -> (N,3,3) symmetric."""
+    xx, xy, xz, yy, yz, zz = [packed[..., i] for i in range(6)]
+    rows = [
+        jnp.stack([xx, xy, xz], axis=-1),
+        jnp.stack([xy, yy, yz], axis=-1),
+        jnp.stack([xz, yz, zz], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2)

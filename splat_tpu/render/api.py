@@ -1,0 +1,50 @@
+"""Public render API: ``render(scene, camera, config) -> image``.
+
+One jitted function from camera pose to image; only the pose is a per-frame
+input (the reference's dirty-flag re-render loop at src/main.rs:69-78 maps to
+"call the compiled function again with a new Camera pytree").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splat_tpu.camera import Camera
+from splat_tpu.config import RenderConfig
+
+
+def render_fn(method: str = "auto", config: RenderConfig | None = None):
+    """Return a jitted ``f(scene, camera) -> float32 (H, W, 3)`` renderer.
+
+    method: 'dense' (exact, O(N*H*W); small scenes / parity tests),
+    'tiled' (tile-binned Pallas rasterizer; the production path), or
+    'auto' (tiled unless the scene is tiny).
+    """
+    config = config or RenderConfig()
+
+    def f(scene, camera: Camera):
+        m = method
+        if m == "auto":
+            m = "dense" if scene.num_gaussians <= 4096 else "tiled"
+        if m == "dense":
+            from splat_tpu.render.dense import render_dense
+            return render_dense(scene, camera, config)
+        elif m == "tiled":
+            from splat_tpu.render.tiled import render_tiled
+            return render_tiled(scene, camera, config)
+        raise ValueError(f"unknown render method {method!r}")
+
+    return jax.jit(f)
+
+
+def render(scene, camera: Camera, config: RenderConfig | None = None,
+           method: str = "auto", as_uint8: bool = False):
+    """Render one frame.  Convenience wrapper over :func:`render_fn`."""
+    img = render_fn(method, config)(scene, camera)
+    if as_uint8:
+        img = (jnp.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    return img

@@ -1,0 +1,177 @@
+"""Golden-image oracle: a slow, exact NumPy renderer.
+
+Independent re-implementation of the reference's per-pixel semantics
+(notebook cell 3 ``plot_opacity`` / Rust fragment+blend at
+src/pipelines.rs:127-168) used to validate the TPU renderers.  Deliberately
+written in plain double-loop-free NumPy, sharing **no** code with the JAX
+path, so agreement is meaningful.
+
+Semantics (and deliberate deviations from reference quirks, per SURVEY §7):
+
+* cov3d = R diag(s^2) R^T (active Rust renderer, src/gaussians.rs:111; the
+  notebook's transposed variant is NOT used);
+* EWA projection identical to both reference paths, low-pass +0.3 (SoA /
+  notebook value);
+* full SH degree selectable (reference Rust caps at degree 2 via sh_dim=15);
+* pixel offsets evaluated exactly at integer pixel coordinates via the
+  affine center mapping (the notebook's linspace-over-bbox sampling is an
+  approximation of this; local +y points up: dy = cy - py);
+* alpha cutoff tests alpha (the notebook's cell-3 bug tests a stale
+  ``opacity`` variable — SURVEY §2.1 'Notebook prototype');
+* back-to-front 'over' compositing onto a black background, float32
+  accumulation, final clip to [0, 1].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from splat_tpu.config import RenderConfig
+
+
+def _np_look_at(eye, center, up):
+    f = center - eye
+    f = f / np.linalg.norm(f)
+    s = np.cross(f, up)
+    s = s / np.linalg.norm(s)
+    u = np.cross(s, f)
+    m = np.eye(4, dtype=np.float64)
+    m[0, :3], m[1, :3], m[2, :3] = s, u, -f
+    m[0, 3], m[1, 3], m[2, 3] = -s @ eye, -u @ eye, f @ eye
+    return m
+
+
+def _np_perspective(fovy, aspect, znear, zfar):
+    t = np.tan(fovy / 2)
+    m = np.zeros((4, 4), np.float64)
+    m[0, 0] = 1 / (aspect * t)
+    m[1, 1] = 1 / t
+    m[2, 2] = -(zfar + znear) / (zfar - znear)
+    m[2, 3] = -2 * zfar * znear / (zfar - znear)
+    m[3, 2] = -1
+    return m
+
+
+def _np_quat_to_rot(q):
+    q = q / np.linalg.norm(q)
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _np_eval_sh(sh, d, degree):
+    c0 = 0.28209479177387814
+    c1 = 0.4886025119029199
+    c2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+          -1.0925484305920792, 0.5462742152960396)
+    c3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+          0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+          -0.5900435899266435)
+    color = c0 * sh[0]
+    if degree >= 1:
+        x, y, z = d
+        color = color - c1 * y * sh[1] + c1 * z * sh[2] - c1 * x * sh[3]
+    if degree >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        color = (color + c2[0] * xy * sh[4] + c2[1] * yz * sh[5]
+                 + c2[2] * (2 * zz - xx - yy) * sh[6]
+                 + c2[3] * xz * sh[7] + c2[4] * (xx - yy) * sh[8])
+    if degree >= 3:
+        color = (color
+                 + c3[0] * y * (3 * xx - yy) * sh[9]
+                 + c3[1] * xy * z * sh[10]
+                 + c3[2] * y * (4 * zz - xx - yy) * sh[11]
+                 + c3[3] * z * (2 * zz - 3 * xx - 3 * yy) * sh[12]
+                 + c3[4] * x * (4 * zz - xx - yy) * sh[13]
+                 + c3[5] * z * (xx - yy) * sh[14]
+                 + c3[6] * x * (xx - 3 * yy) * sh[15])
+    return color + 0.5
+
+
+def render_oracle(scene, camera, config: RenderConfig | None = None):
+    """Render with plain NumPy.  Returns float32 (H, W, 3) in [0, 1]."""
+    import jax  # local import; only used to pull arrays to host
+
+    config = config or RenderConfig()
+    d = {k: np.asarray(v, np.float64) for k, v in {
+        "means": scene.means, "quats": scene.quats, "scales": scene.scales,
+        "opacities": scene.opacities, "sh": scene.sh}.items()}
+    eye = np.asarray(jax.device_get(camera.eye()), np.float64)
+    target = np.asarray(jax.device_get(camera.target), np.float64)
+    up = np.asarray(jax.device_get(camera.up), np.float64)
+    h, w = camera.h, camera.w
+    fovy = float(jax.device_get(camera.fovy))
+    znear = float(jax.device_get(camera.znear))
+    zfar = float(jax.device_get(camera.zfar))
+
+    view = _np_look_at(eye, target, up)
+    proj = _np_perspective(fovy, w / h, znear, zfar)
+    htany = np.tan(fovy / 2)
+    focal = h / (2 * htany)
+
+    n = d["means"].shape[0]
+    # Back-to-front paint order: ascending camera-space z (most negative =
+    # farthest first), reference src/gaussians.rs:297-306.
+    z_cam = (d["means"] @ view[:3, :3].T + view[:3, 3])[:, 2]
+    order = np.argsort(z_cam, kind="stable")
+
+    img = np.zeros((h, w, 3), np.float64)
+    for i in order:
+        mean = d["means"][i]
+        pos_cam = view[:3, :3] @ mean + view[:3, 3]
+        depth = -pos_cam[2]
+        if depth <= znear:
+            continue
+        rot = _np_quat_to_rot(d["quats"][i])
+        cov3d = rot @ np.diag(d["scales"][i] ** 2) @ rot.T
+        w2 = view[:3, :3].T[:, :2]
+        cov2d = (focal / pos_cam[2]) ** 2 * (w2.T @ cov3d @ w2)
+        cov2d = cov2d + config.lowpass * np.eye(2)
+        det = cov2d[0, 0] * cov2d[1, 1] - cov2d[0, 1] ** 2
+        if det <= 0:
+            continue
+        conic_a = cov2d[1, 1] / det
+        conic_b = -cov2d[0, 1] / det
+        conic_c = cov2d[0, 0] / det
+
+        clip = proj @ np.append(pos_cam, 1.0)
+        ndc = clip[:2] / clip[3]
+        cx = (ndc[0] + 1) * w / 2
+        cy = (1 - ndc[1]) * h / 2
+        rx = config.sigma_cutoff * np.sqrt(cov2d[0, 0])
+        ry = config.sigma_cutoff * np.sqrt(cov2d[1, 1])
+        x1 = max(int(np.floor(cx - rx)), 0)
+        x2 = min(int(np.ceil(cx + rx)) + 1, w)
+        y1 = max(int(np.floor(cy - ry)), 0)
+        y2 = min(int(np.ceil(cy + ry)) + 1, h)
+        if x1 >= x2 or y1 >= y2:
+            continue
+
+        raydir = mean - eye
+        raydir = raydir / np.linalg.norm(raydir)
+        color = _np_eval_sh(d["sh"][i], raydir, config.sh_degree)
+
+        xs = np.arange(x1, x2, dtype=np.float64)
+        ys = np.arange(y1, y2, dtype=np.float64)
+        dx = (xs - cx)[None, :]
+        dy = (cy - ys)[:, None]  # local +y is up on screen
+        power = (-0.5 * (conic_a * dx * dx + conic_c * dy * dy)
+                 - conic_b * dx * dy)
+        alpha = np.minimum(config.alpha_clamp,
+                           d["opacities"][i] * np.exp(power))
+        alpha = np.where(power > 0, 0.0, alpha)
+        alpha = np.where(alpha < config.alpha_min, 0.0, alpha)
+        # Quad-coverage model: the reference paints only the sigma_cutoff
+        # quad (src/pipelines.rs:27-34); model it as the continuous rectangle
+        # |dx| <= rx, |dy| <= ry (see module docstring).
+        inside = (np.abs(dx) <= rx) & (np.abs(dy) <= ry)
+        alpha = np.where(inside, alpha, 0.0)
+        tile = img[y1:y2, x1:x2]
+        img[y1:y2, x1:x2] = (tile * (1 - alpha[..., None])
+                             + color[None, None, :] * alpha[..., None])
+
+    return np.clip(img, 0.0, 1.0).astype(np.float32)

@@ -1,0 +1,118 @@
+"""Gaussian scene data model.
+
+The reference keeps two copies of the model: an AoS ``Gaussian`` struct
+(reference: src/gaussians.rs:31-38) and a column-major SoA ``GaussianList``
+(src/gaussians.rs:408-416).  On TPU only the SoA layout makes sense — each
+field is one HBM-resident array the vector units stream over — so that is the
+single data model here.
+
+All activation functions (exp on scales, sigmoid on opacity, quaternion
+normalization — reference: src/gaussians.rs:265-268, notes/util_gau.py:98-105)
+are applied at load time; the arrays stored here are the *activated* values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["means", "quats", "scales", "opacities", "sh"],
+         meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class GaussianScene:
+    """SoA batch of N gaussians (a pytree; every field is a leaf array).
+
+    Attributes:
+      means: (N, 3) float32 world-space centers (mean-centered at load, per
+        reference src/gaussians.rs:394-402).
+      quats: (N, 4) float32 unit quaternions, scalar-first (w, x, y, z) — the
+        PLY order rot_0..rot_3 (reference src/gaussians.rs:269-272 stores
+        rot_0 into the w slot).
+      scales: (N, 3) float32, exp-activated.
+      opacities: (N,) float32 in (0, 1), sigmoid-activated.
+      sh: (N, 16, 3) float32 spherical-harmonics coefficients, coefficient-
+        major with interleaved RGB channels — sh[:, 0] is the DC term
+        (f_dc_0..2) and sh[:, 1:] the 15 higher-order coefficients after the
+        channel-major -> coefficient-major transpose the loaders perform
+        (reference notes/util_gau.py:82-84).
+    """
+
+    means: jax.Array
+    quats: jax.Array
+    scales: jax.Array
+    opacities: jax.Array
+    sh: jax.Array
+
+    @property
+    def num_gaussians(self) -> int:
+        return self.means.shape[0]
+
+    def __len__(self) -> int:
+        return self.num_gaussians
+
+    @classmethod
+    def create(cls, means, quats, scales, opacities, sh) -> "GaussianScene":
+        """Build a scene from array-likes, validating shapes and dtypes."""
+        means = jnp.asarray(means, jnp.float32)
+        quats = jnp.asarray(quats, jnp.float32)
+        scales = jnp.asarray(scales, jnp.float32)
+        opacities = jnp.asarray(opacities, jnp.float32).reshape(-1)
+        sh = jnp.asarray(sh, jnp.float32)
+        n = means.shape[0]
+        if sh.ndim == 2:  # (N, 48) flat layout -> (N, 16, 3)
+            sh = sh.reshape(n, -1, 3)
+        if sh.shape[1] < 16:  # pad missing high-order coefficients with zeros
+            pad = 16 - sh.shape[1]
+            sh = jnp.pad(sh, ((0, 0), (0, pad), (0, 0)))
+        chex_shapes = {
+            "means": (means.shape, (n, 3)),
+            "quats": (quats.shape, (n, 4)),
+            "scales": (scales.shape, (n, 3)),
+            "opacities": (opacities.shape, (n,)),
+            "sh": (sh.shape, (n, 16, 3)),
+        }
+        for name, (got, want) in chex_shapes.items():
+            if got != want:
+                raise ValueError(f"{name}: expected shape {want}, got {got}")
+        return cls(means=means, quats=quats, scales=scales,
+                   opacities=opacities, sh=sh)
+
+    def pad_to(self, n: int) -> "GaussianScene":
+        """Pad with fully-transparent degenerate gaussians up to n rows.
+
+        Padding splats have opacity 0 and are placed far behind any plausible
+        camera so they never contribute; static sizes keep jit caches warm
+        across scenes of different N.
+        """
+        cur = self.num_gaussians
+        if n < cur:
+            raise ValueError(f"pad_to({n}) smaller than current N={cur}")
+        if n == cur:
+            return self
+        pad = n - cur
+        return GaussianScene(
+            means=jnp.concatenate(
+                [self.means, jnp.full((pad, 3), 1e8, jnp.float32)]),
+            quats=jnp.concatenate(
+                [self.quats,
+                 jnp.tile(jnp.array([[1., 0., 0., 0.]], jnp.float32), (pad, 1))]),
+            scales=jnp.concatenate(
+                [self.scales, jnp.full((pad, 3), 1e-8, jnp.float32)]),
+            opacities=jnp.concatenate(
+                [self.opacities, jnp.zeros((pad,), jnp.float32)]),
+            sh=jnp.concatenate(
+                [self.sh, jnp.zeros((pad, 16, 3), jnp.float32)]),
+        )
+
+    def slice(self, start: int, stop: int) -> "GaussianScene":
+        return jax.tree.map(lambda a: a[start:stop], self)
+
+    def to_numpy(self) -> dict[str, np.ndarray]:
+        return {f.name: np.asarray(getattr(self, f.name))
+                for f in dataclasses.fields(self)}
