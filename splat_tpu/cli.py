@@ -1,0 +1,252 @@
+"""Command-line interface.
+
+Covers the reference's binaries (SURVEY §2.1):
+  render  — single frame from a pose          (02_ply_demo.rs / 01_naive...)
+  orbit   — camera trajectory -> PNG frames   (the interactive viewer's
+            yaw/pitch loop, src/main.rs:42-80, minus the OS window)
+  trim    — cut a PLY down to a tiny fixture  (00_ply_load.rs)
+  info    — scene statistics
+  bench   — timing on a scene or synthetic load
+Every magic number of the reference is a flag with its default.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _add_render_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--size", default="800x600",
+                   help="WxH (reference viewer default 800x600, "
+                        "src/main.rs:9-10)")
+    p.add_argument("--pos", default="0,0,5",
+                   help="camera position (reference src/main.rs:13)")
+    p.add_argument("--target", default="0,0,0")
+    p.add_argument("--yaw", type=float, default=0.0)
+    p.add_argument("--pitch", type=float, default=0.0)
+    p.add_argument("--fovy-deg", type=float, default=90.0)
+    p.add_argument("--sh-degree", type=int, default=3)
+    p.add_argument("--lowpass", type=float, default=0.3)
+    p.add_argument("--tile", type=int, default=32)
+    p.add_argument("--background", default="0,0,0")
+    p.add_argument("--method", choices=["auto", "dense", "tiled"],
+                   default="auto")
+    p.add_argument("--no-center", action="store_true",
+                   help="skip mean-centering positions at load")
+    p.add_argument("--naive", action="store_true",
+                   help="use the built-in 4-gaussian fixture instead of a "
+                        "PLY (reference 01_naive_gaussian.rs)")
+
+
+def _parse_vec(s: str, n: int) -> tuple[float, ...]:
+    v = tuple(float(x) for x in s.split(","))
+    if len(v) != n:
+        raise SystemExit(f"expected {n} comma-separated floats, got {s!r}")
+    return v
+
+
+def _load(args):
+    import splat_tpu as st
+
+    if args.naive:
+        return st.naive_gaussians()
+    if not args.scene:
+        raise SystemExit("a scene .ply is required (or pass --naive)")
+    from splat_tpu.io.cache import load_scene_cached
+    return load_scene_cached(args.scene, center=not args.no_center)
+
+
+def _camera(args):
+    import numpy as np
+    import splat_tpu as st
+
+    w, h = (int(x) for x in args.size.split("x"))
+    return st.Camera.create(
+        h=h, w=w, position=_parse_vec(args.pos, 3),
+        target=_parse_vec(args.target, 3), yaw=args.yaw, pitch=args.pitch,
+        fovy=float(np.deg2rad(args.fovy_deg)))
+
+
+def _config(args):
+    from splat_tpu.config import RenderConfig
+    return RenderConfig(sh_degree=args.sh_degree, lowpass=args.lowpass,
+                        tile_px=args.tile,
+                        background=_parse_vec(args.background, 3))
+
+
+def cmd_render(args) -> int:
+    import numpy as np
+
+    from splat_tpu.render.api import render
+    from splat_tpu.utils.image import write_png
+
+    scene = _load(args).to_device()
+    cam = _camera(args)
+    t0 = time.time()
+    img = np.asarray(render(scene, cam, _config(args), method=args.method))
+    # The reference prints per-frame timing (src/main.rs:77).
+    print(f"Rendering took {(time.time() - t0) * 1e3:.1f} ms "
+          f"(N={scene.num_gaussians}, {cam.w}x{cam.h}, incl. compile)")
+    write_png(args.out, img)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_orbit(args) -> int:
+    import jax
+    import numpy as np
+
+    from splat_tpu.camera import orbit_trajectory
+    from splat_tpu.render.api import render_fn
+    from splat_tpu.utils.image import write_png
+
+    scene = _load(args).to_device()
+    cam = _camera(args)
+    os.makedirs(args.out_dir, exist_ok=True)
+    f = render_fn(args.method, _config(args))
+    cams = orbit_trajectory(cam, args.frames,
+                            yaw_sweep=float(np.deg2rad(args.yaw_sweep)),
+                            pitch_sweep=float(np.deg2rad(args.pitch_sweep)))
+    t0 = time.time()
+    for i in range(args.frames):
+        c = jax.tree.map(lambda a: a[i], cams,
+                         is_leaf=lambda a: hasattr(a, "shape"))
+        img = np.asarray(f(scene, c))
+        write_png(os.path.join(args.out_dir, f"frame_{i:04d}.png"), img)
+        if i == 0:
+            t0 = time.time()  # exclude compile from FPS
+    steady = args.frames - 1
+    if steady > 0:
+        dt = (time.time() - t0) / steady
+        print(f"{steady} frames: {dt * 1e3:.1f} ms/frame "
+              f"({1.0 / dt:.1f} FPS incl. host I/O)")
+    print(f"wrote {args.frames} frames to {args.out_dir}/")
+    return 0
+
+
+def cmd_trim(args) -> int:
+    from splat_tpu.io.ply import trim_ply
+
+    n = trim_ply(args.scene, args.out, count=args.count)
+    print(f"wrote {n} splats to {args.out}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    import numpy as np
+
+    scene = _load(args)
+    d = scene.to_numpy()
+    stats = {
+        "num_gaussians": int(scene.num_gaussians),
+        "extent": {
+            "min": d["means"].min(0).tolist(),
+            "max": d["means"].max(0).tolist(),
+        },
+        "scales": {"mean": float(d["scales"].mean()),
+                   "p50": float(np.median(d["scales"])),
+                   "max": float(d["scales"].max())},
+        "opacity": {"mean": float(d["opacities"].mean()),
+                    "p50": float(np.median(d["opacities"]))},
+        "sh_nonzero_bands": int(
+            3 - (d["sh"][:, 1:, :] == 0).all(axis=(0, 2))[::-1].argmin()
+            if not (d["sh"][:, 1:, :] == 0).all() else 0),
+        "memory_mb": round(sum(a.nbytes for a in d.values()) / 2 ** 20, 1),
+    }
+    print(json.dumps(stats, indent=2))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from splat_tpu.render.tiled import render_tiled
+
+    if args.naive or args.scene:
+        scene = _load(args)
+    else:
+        import splat_tpu as st
+        scene = st.random_scene(args.n, seed=0)
+        print(f"synthetic scene: N={args.n}")
+    scene = scene.to_device()
+    cam = _camera(args)
+    config = _config(args)
+    frames = args.frames
+
+    def chained(scene, cam):
+        def step(carry, i):
+            c = dataclasses.replace(
+                cam, yaw=cam.yaw + 0.01 * i.astype(jnp.float32)
+                + carry * 1e-20)
+            img = render_tiled(scene, c, config)
+            return jnp.mean(img), jnp.mean(img)
+        return jax.lax.scan(step, jnp.float32(0.0), jnp.arange(frames))
+
+    f = jax.jit(chained)
+    t0 = time.time()
+    jax.device_get(f(scene, cam))
+    print(f"compile: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    jax.device_get(f(scene, cam))
+    dt = (time.time() - t0) / frames
+    print(f"{frames} frames (device-chained): {dt * 1e3:.2f} ms/frame "
+          f"({1.0 / dt:.1f} FPS)")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="splat_tpu",
+        description="TPU-native 3D gaussian splatting renderer")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="render one frame to a PNG")
+    p.add_argument("scene", nargs="?", help="3DGS .ply")
+    _add_render_flags(p)
+    p.add_argument("--out", default="frame.png")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("orbit", help="render an orbit trajectory")
+    p.add_argument("scene", nargs="?")
+    _add_render_flags(p)
+    p.add_argument("--frames", type=int, default=120)
+    p.add_argument("--yaw-sweep", type=float, default=360.0,
+                   help="total yaw sweep in degrees")
+    p.add_argument("--pitch-sweep", type=float, default=0.0)
+    p.add_argument("--out-dir", default="frames")
+    p.set_defaults(fn=cmd_orbit)
+
+    p = sub.add_parser("trim", help="copy the first K splats to a fixture")
+    p.add_argument("scene")
+    p.add_argument("out")
+    p.add_argument("--count", type=int, default=3)
+    p.set_defaults(fn=cmd_trim)
+
+    p = sub.add_parser("info", help="scene statistics")
+    p.add_argument("scene", nargs="?")
+    p.add_argument("--naive", action="store_true")
+    p.add_argument("--no-center", action="store_true")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("bench", help="device-chained frame timing")
+    p.add_argument("scene", nargs="?")
+    _add_render_flags(p)
+    p.add_argument("--n", type=int, default=100_000,
+                   help="synthetic scene size when no PLY given")
+    p.add_argument("--frames", type=int, default=20)
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

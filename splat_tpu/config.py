@@ -53,8 +53,8 @@ class RenderConfig:
     alpha_clamp: float = 0.99
     alpha_min: float = 1.0 / 255.0
     tile_px: int = 32
-    max_dup_factor: int = 16
-    chunk: int = 256
+    max_dup_factor: int = 6
+    chunk: int = 128
     background: tuple[float, float, float] = (0.0, 0.0, 0.0)
     # Radius of the splat bounding box in standard deviations.  The reference
     # uses 3-sigma quads (src/pipelines.rs:27).

@@ -167,8 +167,24 @@ def arrays_to_scene(fields: dict[str, np.ndarray], *,
         opacities=opacities.astype(np.float32), sh=sh.astype(np.float32))
 
 
-def load_ply(path: str | os.PathLike, *, center: bool = True) -> GaussianScene:
-    """Load a pretrained 3DGS .ply into an activated SoA scene."""
+def load_ply(path: str | os.PathLike, *, center: bool = True,
+             native: bool | None = None) -> GaussianScene:
+    """Load a pretrained 3DGS .ply into an activated SoA scene.
+
+    native: use the multithreaded C++ fast path (splat_tpu.native) when the
+      file has the standard all-float32 binary-LE schema.  None = auto (on,
+      falling back to the NumPy path for non-standard files or when no
+      compiler is available); the SPLAT_TPU_NO_NATIVE env var disables it.
+    """
+    if native is None:
+        native = not os.environ.get("SPLAT_TPU_NO_NATIVE")
+    if native:
+        try:
+            from splat_tpu.native.loader import (NativeUnsupported,
+                                                 load_ply_native)
+            return load_ply_native(path, center=center)
+        except NativeUnsupported:
+            pass
     return arrays_to_scene(read_ply_arrays(path), center=center)
 
 

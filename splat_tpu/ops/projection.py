@@ -156,4 +156,7 @@ def project_gaussians(scene, camera: Camera,
 
     return ProjectedGaussians(depth=depth, center_px=center_px, conic=conic,
                               radius_px=radius, color=color,
-                              opacity=scene.opacities, visible=visible)
+                              # jnp.asarray: scenes may carry host (NumPy)
+                              # leaves; downstream indexes with tracers.
+                              opacity=jnp.asarray(scene.opacities),
+                              visible=visible)

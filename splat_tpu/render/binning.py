@@ -1,0 +1,144 @@
+"""Stage B: tile binning — (gaussian, tile) pair expansion + ordering.
+
+This is the INRIA-style tiled decomposition the reference *describes* but
+never built (reference notes.md:19-42: DuplicateWithKeys, radix sort,
+per-tile ranges), reformulated for XLA's static shapes:
+
+1. depth-sort the N projected gaussians once (front-to-back);
+2. each visible gaussian covers a rectangle of tiles derived from its
+   sigma_cutoff bbox; per-gaussian pair counts -> exclusive prefix sum;
+3. expand to a capacity-bounded slot array WITHOUT scatter-per-pair: a
+   single scatter-add of N ones at each gaussian's first slot followed by a
+   cumulative sum yields the slot->gaussian map in O(K + N);
+4. a *stable* single-key sort by tile id groups pairs per tile while
+   preserving the depth order established in step 1 (cheaper than the
+   two-key (tile, depth) lexicographic sort);
+5. per-tile [start, end) ranges via searchsorted over the sorted tile ids.
+
+Capacity: K_cap = max_dup_factor * N slots.  If a frame produces more pairs,
+the overflow count is returned (pairs dropped are the *deepest* ones —
+graceful degradation) and surfaced by the non-jit wrapper.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from splat_tpu.config import RenderConfig
+from splat_tpu.ops.projection import ProjectedGaussians
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["features", "tile_start", "tile_end", "num_pairs",
+                      "overflow"],
+         meta_fields=["tiles_x", "tiles_y"])
+@dataclasses.dataclass(frozen=True)
+class TileBins:
+    """Sorted (gaussian, tile) pairs ready for the raster kernel.
+
+    features: (16, K_cap + chunk) f32 feature-major, columns ordered by
+      (tile, depth): rows are
+      [cx, cy, conic_a, conic_b, conic_c, r, g, b, opacity, rx, ry, 0*5]
+    tile_start/tile_end: (T,) int32 pair ranges per tile.
+    num_pairs: () int32 total valid pairs (pre-capacity).
+    overflow: () int32 pairs dropped due to capacity.
+    """
+
+    features: jax.Array
+    tile_start: jax.Array
+    tile_end: jax.Array
+    num_pairs: jax.Array
+    overflow: jax.Array
+    tiles_x: int
+    tiles_y: int
+
+
+FEATURE_DIM = 16
+
+
+def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
+                    config: RenderConfig) -> TileBins:
+    tp = config.tile_px
+    ntx = -(-w // tp)
+    nty = -(-h // tp)
+    num_tiles = ntx * nty
+    n = proj.depth.shape[0]
+    k_cap = config.max_dup_factor * n
+
+    # -- 1. front-to-back global order ------------------------------------
+    depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
+    order = jnp.argsort(depth_key)
+
+    # -- 2. tile spans + pair counts (computed in original order, then the
+    #       small N-sized fields are re-indexed into depth order) ----------
+    cx, cy = proj.center_px[:, 0], proj.center_px[:, 1]
+    rx, ry = proj.radius_px[:, 0], proj.radius_px[:, 1]
+    tx0_o = jnp.clip(jnp.floor((cx - rx) / tp), 0, ntx - 1).astype(jnp.int32)
+    tx1_o = jnp.clip(jnp.floor((cx + rx) / tp), 0, ntx - 1).astype(jnp.int32)
+    ty0_o = jnp.clip(jnp.floor((cy - ry) / tp), 0, nty - 1).astype(jnp.int32)
+    ty1_o = jnp.clip(jnp.floor((cy + ry) / tp), 0, nty - 1).astype(jnp.int32)
+    counts_o = jnp.where(proj.visible,
+                         (tx1_o - tx0_o + 1) * (ty1_o - ty0_o + 1),
+                         0).astype(jnp.int32)
+    tx0 = tx0_o[order]
+    ty0 = ty0_o[order]
+    span_w = (tx1_o - tx0_o + 1)[order]
+    counts = counts_o[order]
+
+    cum = jnp.cumsum(counts)
+    total = cum[-1]
+    first_slot = cum - counts                       # exclusive prefix sum
+    overflow = jnp.maximum(total - k_cap, 0)
+
+    # -- 3. slot -> gaussian via scatter + cumsum --------------------------
+    # Scatter a 1 at each gaussian's first slot (zero-count gaussians stack
+    # on the next start; the cumsum then skips them correctly), then
+    # cumsum-1 maps every slot to its source gaussian.
+    mark = jnp.zeros((k_cap + 1,), jnp.int32).at[
+        jnp.minimum(first_slot, k_cap)].add(1, mode="drop")
+    g_of_slot = (jnp.cumsum(mark[:k_cap]) - 1)
+    slot_ids = jnp.arange(k_cap, dtype=jnp.int32)
+    r_of_slot = slot_ids - first_slot[g_of_slot]
+
+    sw = span_w[g_of_slot]
+    tile_col = tx0[g_of_slot] + r_of_slot % sw
+    tile_row = ty0[g_of_slot] + r_of_slot // sw
+    tile_id = tile_row * ntx + tile_col
+    valid = slot_ids < jnp.minimum(total, k_cap)
+    tile_id = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
+
+    # -- 4. stable sort by tile (preserves depth order within a tile) -----
+    sorted_tile, sorted_g = jax.lax.sort((tile_id, g_of_slot), num_keys=1,
+                                         is_stable=True)
+
+    # -- 5. per-tile ranges -------------------------------------------------
+    edges = jnp.searchsorted(sorted_tile,
+                             jnp.arange(num_tiles + 1, dtype=jnp.int32),
+                             side="left").astype(jnp.int32)
+    tile_start, tile_end = edges[:-1], edges[1:]
+
+    # -- 6. feature gather: one pass, feature-major ------------------------
+    # (16, N) in ORIGINAL order; one combined K-gather via order[sorted_g]
+    # lands columns directly in (tile, depth) order with the kernel's
+    # lane-major layout — no transpose, no pad copy.
+    feats_t = jnp.stack([
+        cx, cy,
+        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+        jnp.clip(proj.color[:, 0], 0.0, 1.0),
+        jnp.clip(proj.color[:, 1], 0.0, 1.0),
+        jnp.clip(proj.color[:, 2], 0.0, 1.0),
+        proj.opacity, rx, ry,
+    ])                                                        # (11, N)
+    feats_t = jnp.pad(feats_t, ((0, FEATURE_DIM - 11), (0, 0)))
+    src = order[sorted_g]                                     # (K_cap,)
+    # chunk padding so the kernel's fixed-size DMA never reads out of bounds
+    src = jnp.pad(src, (0, config.chunk), constant_values=0)
+    features = jnp.take(feats_t, src, axis=1)                 # (16, Kp)
+
+    return TileBins(features=features, tile_start=tile_start,
+                    tile_end=tile_end, num_pairs=jnp.minimum(total, k_cap),
+                    overflow=overflow, tiles_x=ntx, tiles_y=nty)

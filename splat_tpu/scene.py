@@ -58,18 +58,29 @@ class GaussianScene:
 
     @classmethod
     def create(cls, means, quats, scales, opacities, sh) -> "GaussianScene":
-        """Build a scene from array-likes, validating shapes and dtypes."""
-        means = jnp.asarray(means, jnp.float32)
-        quats = jnp.asarray(quats, jnp.float32)
-        scales = jnp.asarray(scales, jnp.float32)
-        opacities = jnp.asarray(opacities, jnp.float32).reshape(-1)
-        sh = jnp.asarray(sh, jnp.float32)
+        """Build a scene from array-likes, validating shapes and dtypes.
+
+        Host-built scenes keep NumPy leaves (JAX transfers them on first
+        dispatch; use :meth:`to_device` to pin them in HBM for render
+        loops).  Device-array inputs are kept as-is — they are never pulled
+        back to the host here, since fetching raw (never-computed) buffers
+        is pathologically slow on remote-attached TPU backends.
+        """
+        on_device = any(
+            isinstance(a, jax.Array) for a in (means, quats, scales,
+                                               opacities, sh))
+        xp = jnp if on_device else np
+        means = xp.asarray(means, xp.float32)
+        quats = xp.asarray(quats, xp.float32)
+        scales = xp.asarray(scales, xp.float32)
+        opacities = xp.asarray(opacities, xp.float32).reshape(-1)
+        sh = xp.asarray(sh, xp.float32)
         n = means.shape[0]
         if sh.ndim == 2:  # (N, 48) flat layout -> (N, 16, 3)
             sh = sh.reshape(n, -1, 3)
         if sh.shape[1] < 16:  # pad missing high-order coefficients with zeros
             pad = 16 - sh.shape[1]
-            sh = jnp.pad(sh, ((0, 0), (0, pad), (0, 0)))
+            sh = xp.pad(sh, ((0, 0), (0, pad), (0, 0)))
         chex_shapes = {
             "means": (means.shape, (n, 3)),
             "quats": (quats.shape, (n, 4)),
@@ -96,22 +107,29 @@ class GaussianScene:
         if n == cur:
             return self
         pad = n - cur
+        xp = jnp if isinstance(self.means, jax.Array) else np
         return GaussianScene(
-            means=jnp.concatenate(
-                [self.means, jnp.full((pad, 3), 1e8, jnp.float32)]),
-            quats=jnp.concatenate(
+            means=xp.concatenate(
+                [self.means, xp.full((pad, 3), 1e8, xp.float32)]),
+            quats=xp.concatenate(
                 [self.quats,
-                 jnp.tile(jnp.array([[1., 0., 0., 0.]], jnp.float32), (pad, 1))]),
-            scales=jnp.concatenate(
-                [self.scales, jnp.full((pad, 3), 1e-8, jnp.float32)]),
-            opacities=jnp.concatenate(
-                [self.opacities, jnp.zeros((pad,), jnp.float32)]),
-            sh=jnp.concatenate(
-                [self.sh, jnp.zeros((pad, 16, 3), jnp.float32)]),
+                 xp.tile(xp.asarray([[1., 0., 0., 0.]], dtype=xp.float32),
+                         (pad, 1))]),
+            scales=xp.concatenate(
+                [self.scales, xp.full((pad, 3), 1e-8, xp.float32)]),
+            opacities=xp.concatenate(
+                [self.opacities, xp.zeros((pad,), xp.float32)]),
+            sh=xp.concatenate(
+                [self.sh, xp.zeros((pad, 16, 3), xp.float32)]),
         )
 
     def slice(self, start: int, stop: int) -> "GaussianScene":
         return jax.tree.map(lambda a: a[start:stop], self)
+
+    def to_device(self, device=None) -> "GaussianScene":
+        """Pin all leaves in device memory (one transfer; subsequent jit
+        calls reuse the resident buffers instead of re-uploading)."""
+        return jax.tree.map(lambda a: jax.device_put(a, device), self)
 
     def to_numpy(self) -> dict[str, np.ndarray]:
         return {f.name: np.asarray(getattr(self, f.name))

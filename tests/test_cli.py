@@ -1,0 +1,68 @@
+"""CLI smoke tests (run in-process on the CPU backend)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from splat_tpu.cli import main
+from splat_tpu.io.ply import save_ply
+from splat_tpu.utils.fixtures import random_scene
+from splat_tpu.utils.image import read_png
+
+
+@pytest.fixture()
+def scene_ply(tmp_path):
+    p = tmp_path / "s.ply"
+    save_ply(p, random_scene(64, seed=1, extent=1.5,
+                             scale_range=(0.05, 0.15)))
+    return str(p)
+
+
+def test_render_naive(tmp_path, capsys):
+    out = str(tmp_path / "naive.png")
+    rc = main(["render", "--naive", "--size", "96x64", "--out", out,
+               "--pos=-0.57651054,2.99040512,-0.03924271"])
+    assert rc == 0
+    img = read_png(out)
+    assert img.shape == (64, 96, 3)
+    assert img.max() > 0  # something rendered
+    assert "Rendering took" in capsys.readouterr().out
+
+
+def test_render_ply(scene_ply, tmp_path):
+    out = str(tmp_path / "f.png")
+    rc = main(["render", scene_ply, "--size", "64x64", "--pos", "0,0,4",
+               "--out", out])
+    assert rc == 0
+    assert read_png(out).shape == (64, 64, 3)
+
+
+def test_orbit(scene_ply, tmp_path):
+    outdir = str(tmp_path / "frames")
+    rc = main(["orbit", scene_ply, "--size", "48x32", "--pos", "0,0,4",
+               "--frames", "3", "--out-dir", outdir])
+    assert rc == 0
+    frames = sorted(os.listdir(outdir))
+    assert frames == ["frame_0000.png", "frame_0001.png", "frame_0002.png"]
+    # NB: with a full 360-degree sweep the last frame equals the first;
+    # compare adjacent frames.
+    a = read_png(os.path.join(outdir, frames[0])).astype(np.int32)
+    b = read_png(os.path.join(outdir, frames[1])).astype(np.int32)
+    assert np.abs(a - b).max() > 0  # camera actually moved
+
+
+def test_trim_and_info(scene_ply, tmp_path, capsys):
+    out = str(tmp_path / "small.ply")
+    assert main(["trim", scene_ply, out, "--count", "5"]) == 0
+    capsys.readouterr()
+    assert main(["info", out, "--no-center"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["num_gaussians"] == 5
+    assert stats["memory_mb"] >= 0
+
+
+def test_render_requires_scene():
+    with pytest.raises(SystemExit):
+        main(["render", "--size", "32x32"])
