@@ -2,55 +2,63 @@
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Headline metric: 1080p frames/sec on a 1M-gaussian synthetic scene (the
-reference publishes no numbers — BASELINE.md; baseline target is the
-north-star 30 FPS at 1080p, so vs_baseline = fps / 30).
+reference publishes no numbers — BASELINE.md; the north-star target is 30
+FPS at 1080p on one chip, so vs_baseline = fps / 30).
 
-Extra per-config results go to stderr so the driver's single-line contract
-holds on stdout.
+Timing is device-chained: F frames rendered inside one jitted lax.scan with
+a data dependency between frames, so the result is true device throughput —
+host dispatch on a remote-attached TPU costs ~100 ms/call and async
+block_until_ready lies (see scripts/devtime.py).
+
+Extra detail goes to stderr so the one-line stdout contract holds.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
+import os
 import sys
 import time
 
 
-def _time_fn(fn, *args, iters: int = 10, warmup: int = 2) -> float:
-    import jax
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
-
-
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
-    from splat_tpu.camera import Camera
+    import splat_tpu as st
     from splat_tpu.config import RenderConfig
-    from splat_tpu.render.api import render_fn
-    from splat_tpu.utils.fixtures import random_scene
+    from splat_tpu.render.tiled import render_tiled
 
-    config = RenderConfig()
-
-    # Scale the headline scene to hardware; overridable for smoke tests.
-    import os
     n = int(os.environ.get("SPLAT_BENCH_N", 1_000_000))
     h = int(os.environ.get("SPLAT_BENCH_H", 1080))
     w = int(os.environ.get("SPLAT_BENCH_W", 1920))
-    iters = int(os.environ.get("SPLAT_BENCH_ITERS", 10))
+    frames = int(os.environ.get("SPLAT_BENCH_FRAMES", 20))
 
-    scene = random_scene(n, seed=0, extent=3.0, scale_range=(0.004, 0.03))
-    camera = Camera.create(h=h, w=w, position=(0.0, 0.0, 4.0))
-    f = render_fn("tiled", config)
+    config = RenderConfig()
+    scene = st.random_scene(n, seed=0, extent=3.0,
+                            scale_range=(0.004, 0.03)).to_device()
+    camera = st.Camera.create(h=h, w=w, position=(0.0, 0.0, 4.0))
+
+    def chained(scene, cam):
+        def step(carry, i):
+            c = dataclasses.replace(
+                cam, yaw=cam.yaw + 0.01 * i.astype(jnp.float32)
+                + carry * 1e-20)
+            img = render_tiled(scene, c, config)
+            return jnp.mean(img), jnp.mean(img)
+        return jax.lax.scan(step, jnp.float32(0.0), jnp.arange(frames))
 
     try:
-        dt = _time_fn(f, scene, camera, iters=iters)
-    except Exception as e:  # pragma: no cover - report failure explicitly
+        f = jax.jit(chained)
+        t0 = time.time()
+        jax.device_get(f(scene, camera))
+        print(f"[bench] compile+first: {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        t0 = time.time()
+        carry, means = jax.device_get(f(scene, camera))
+        dt = (time.time() - t0) / frames
+    except Exception as e:  # pragma: no cover — report failure explicitly
         print(f"bench failed: {type(e).__name__}: {e}", file=sys.stderr)
         print(json.dumps({"metric": f"{h}p_fps_{n}_gaussians",
                           "value": 0.0, "unit": "frames/sec",
@@ -59,7 +67,8 @@ def main() -> None:
 
     fps = 1.0 / dt
     print(f"[bench] {n} gaussians @ {w}x{h}: {dt * 1e3:.2f} ms/frame "
-          f"({fps:.2f} FPS)", file=sys.stderr)
+          f"({fps:.2f} FPS, device-chained x{frames}); "
+          f"mean pixel {float(means.mean()):.4f}", file=sys.stderr)
     print(json.dumps({
         "metric": f"{h}p_fps_{n}_gaussians",
         "value": round(fps, 3),

@@ -35,6 +35,8 @@ def main():
                     help="camera looks away: measures fixed overhead")
     ap.add_argument("--stage", choices=["full", "project", "bins"],
                     default="full")
+    ap.add_argument("--slot", choices=["scatter", "searchsorted"],
+                    default="scatter")
     args = ap.parse_args()
 
     import jax
@@ -48,12 +50,12 @@ def main():
 
     lo, hi = (float(x) for x in args.scale.split(","))
     scene = st.random_scene(args.n, seed=0, extent=args.extent,
-                            scale_range=(lo, hi))
+                            scale_range=(lo, hi)).to_device()
     pos = (0.0, 0.0, 400.0) if args.empty else (0.0, 0.0, 4.0)
     tgt = (0.0, 0.0, 500.0) if args.empty else (0.0, 0.0, 0.0)
     cam = st.Camera.create(h=args.h, w=args.w, position=pos, target=tgt)
     config = RenderConfig(tile_px=args.tile, chunk=args.chunk,
-                          max_dup_factor=args.dup)
+                          max_dup_factor=args.dup, slot_method=args.slot)
 
     f_frames = args.frames
 
@@ -93,7 +95,8 @@ def main():
     stats = {k: float(v) for k, v in jax.device_get(stats).items()}
     ms = dt / f_frames * 1e3
     print(f"n={args.n} {args.w}x{args.h} tile={args.tile} chunk={args.chunk} "
-          f"dup={args.dup} stage={args.stage} empty={args.empty} | "
+          f"dup={args.dup} slot={args.slot} stage={args.stage} "
+          f"empty={args.empty} | "
           f"{ms:.2f} ms/frame ({1e3 / ms:.1f} FPS) "
           f"compile={compile_s:.0f}s pairs={stats['num_pairs']:.0f} "
           f"maxtile={stats['max_tile_pairs']:.0f} "

@@ -108,6 +108,7 @@ def cmd_orbit(args) -> int:
     cam = _camera(args)
     os.makedirs(args.out_dir, exist_ok=True)
     f = render_fn(args.method, _config(args))
+    gif_frames = [] if args.gif else None
     cams = orbit_trajectory(cam, args.frames,
                             yaw_sweep=float(np.deg2rad(args.yaw_sweep)),
                             pitch_sweep=float(np.deg2rad(args.pitch_sweep)))
@@ -117,6 +118,8 @@ def cmd_orbit(args) -> int:
                          is_leaf=lambda a: hasattr(a, "shape"))
         img = np.asarray(f(scene, c))
         write_png(os.path.join(args.out_dir, f"frame_{i:04d}.png"), img)
+        if gif_frames is not None:
+            gif_frames.append(img)
         if i == 0:
             t0 = time.time()  # exclude compile from FPS
     steady = args.frames - 1
@@ -124,6 +127,10 @@ def cmd_orbit(args) -> int:
         dt = (time.time() - t0) / steady
         print(f"{steady} frames: {dt * 1e3:.1f} ms/frame "
               f"({1.0 / dt:.1f} FPS incl. host I/O)")
+    if gif_frames is not None:
+        from splat_tpu.utils.gif import write_gif
+        write_gif(args.gif, gif_frames, fps=args.gif_fps)
+        print(f"wrote {args.gif}")
     print(f"wrote {args.frames} frames to {args.out_dir}/")
     return 0
 
@@ -202,6 +209,16 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from splat_tpu.viewer.server import serve
+
+    scene = _load(args)
+    cam = _camera(args)
+    serve(scene, cam, _config(args), host=args.host, port=args.port,
+          method=args.method)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="splat_tpu",
@@ -222,6 +239,9 @@ def main(argv=None) -> int:
                    help="total yaw sweep in degrees")
     p.add_argument("--pitch-sweep", type=float, default=0.0)
     p.add_argument("--out-dir", default="frames")
+    p.add_argument("--gif", default=None,
+                   help="also write an animated GIF to this path")
+    p.add_argument("--gif-fps", type=float, default=20.0)
     p.set_defaults(fn=cmd_orbit)
 
     p = sub.add_parser("trim", help="copy the first K splats to a fixture")
@@ -235,6 +255,15 @@ def main(argv=None) -> int:
     p.add_argument("--naive", action="store_true")
     p.add_argument("--no-center", action="store_true")
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("serve", help="interactive browser viewer "
+                       "(arrow keys / drag / wheel, like the reference "
+                       "viewer)")
+    p.add_argument("scene", nargs="?")
+    _add_render_flags(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="device-chained frame timing")
     p.add_argument("scene", nargs="?")

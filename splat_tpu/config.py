@@ -55,6 +55,10 @@ class RenderConfig:
     tile_px: int = 32
     max_dup_factor: int = 6
     chunk: int = 128
+    # slot->gaussian expansion strategy in binning: "scatter" (scatter-add +
+    # cumsum) or "searchsorted" (vectorized binary search).  Identical
+    # results; relative speed is hardware/size dependent.
+    slot_method: str = "scatter"
     background: tuple[float, float, float] = (0.0, 0.0, 0.0)
     # Radius of the splat bounding box in standard deviations.  The reference
     # uses 3-sigma quads (src/pipelines.rs:27).

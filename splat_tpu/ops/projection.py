@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from splat_tpu.camera import Camera, ndc_to_pixel
 from splat_tpu.config import RenderConfig
 from splat_tpu.ops.sh import eval_sh
-from splat_tpu.ops.transforms import compute_cov3d
+from splat_tpu.ops.transforms import compute_cov3d_packed, pack_cov3d
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -57,10 +57,12 @@ class ProjectedGaussians:
 
 
 def _pos_cam(means: jax.Array, view: jax.Array) -> jax.Array:
-    """(N,3) world -> camera space in true f32 (no bf16 matmul lowering)."""
-    return (jnp.einsum("nj,ij->ni", means, view[:3, :3],
-                       precision=jax.lax.Precision.HIGHEST)
-            + view[:3, 3])
+    """(N,3) world -> camera space, elementwise (no MXU dispatch: batched
+    tiny matmuls are pathological on TPU — see compute_cov3d_packed)."""
+    mx, my, mz = means[:, 0], means[:, 1], means[:, 2]
+    out = [view[i, 0] * mx + view[i, 1] * my + view[i, 2] * mz + view[i, 3]
+           for i in range(3)]
+    return jnp.stack(out, axis=-1)
 
 
 def ewa_project(means: jax.Array, cov3d: jax.Array, view: jax.Array,
@@ -76,28 +78,46 @@ def ewa_project(means: jax.Array, cov3d: jax.Array, view: jax.Array,
     inline comment below).
     """
     del htanx, htany  # see docstring
-    pos_cam = _pos_cam(means, view)                            # (N,3)
-    tz = pos_cam[:, 2]
+    a, b, c = ewa_project_packed(means, pack_cov3d(cov3d), view, focal,
+                                 lowpass)
+    row0 = jnp.stack([a, b], axis=-1)
+    row1 = jnp.stack([b, c], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)
 
-    # The reference builds a row-major J whose first two COLUMNS are
-    # (f/tz, 0, 0) and (0, f/tz, 0); with T = W J and cov = (T^T Sigma T)
-    # truncated to [:2,:2], only those two columns ever reach the result —
-    # the perspective-skew entries J[0,2], J[1,2] land in the discarded third
-    # row/column.  (Both the Rust renderer, src/gaussians.rs:143-151, and the
-    # notebook prototype, cell 1 get_cov2d, share this behavior; we match it
-    # exactly.)  The +-1.3 tan(fov) clamp therefore only matters through the
-    # reference's (unused here) skew terms, but we keep tz untouched as they
-    # do.  Net effect: T[:, :2] = (f / tz) * W[:, :2].
-    w2 = view[:3, :3].T[:, :2]                                 # (3,2) W[:, :2]
-    scale = (focal / tz)                                       # (N,)
-    # cov2d = scale^2 * w2^T Sigma w2.  HIGHEST precision: keep these tiny
-    # contractions in true f32 (TPU default would go through bf16).
-    hi = jax.lax.Precision.HIGHEST
-    sig_w = jnp.einsum("nij,jk->nik", cov3d, w2, precision=hi)  # (N,3,2)
-    base = jnp.einsum("ji,njk->nik", w2, sig_w, precision=hi)   # (N,2,2)
-    cov2d = base * (scale * scale)[:, None, None]
-    eye = jnp.eye(2, dtype=jnp.float32) * lowpass
-    return cov2d + eye
+
+def ewa_project_packed(means, cov6, view, focal, lowpass: float):
+    """Packed elementwise EWA: (N,3),(N,6) -> conic-ready (a, b, c) of the
+    2D pixel-space covariance, each (N,).
+
+    Math (reference src/gaussians.rs:114-161 == notebook cell 1 get_cov2d):
+    the reference builds a row-major J whose first two COLUMNS are
+    (f/tz, 0, 0) and (0, f/tz, 0); with T = W J and cov = (T^T Sigma T)
+    truncated to [:2,:2], only those two columns ever reach the result —
+    the perspective-skew entries J[0,2], J[1,2] land in the discarded third
+    row/column (so the +-1.3 tan(fov) clamp has no observable effect; both
+    reference implementations share this).  Net effect with W = R_view^T:
+      cov2d = (f/tz)^2 * [u^T Sigma u, u^T Sigma v; ., v^T Sigma v]
+    where u, v are the first two rows of the view rotation.
+
+    Everything is fused multiply-adds over (N,) vectors — no MXU dispatch,
+    full f32 (parity needs true f32; TPU matmul default is bf16-grade).
+    """
+    xx, xy, xz, yy, yz, zz = (cov6[:, i] for i in range(6))
+    u = view[0, :3]
+    v = view[1, :3]
+
+    def quad(p, q):  # p^T Sigma q, elementwise over N
+        return (xx * (p[0] * q[0]) + yy * (p[1] * q[1]) + zz * (p[2] * q[2])
+                + xy * (p[0] * q[1] + p[1] * q[0])
+                + xz * (p[0] * q[2] + p[2] * q[0])
+                + yz * (p[1] * q[2] + p[2] * q[1]))
+
+    tz = _pos_cam(means, view)[:, 2]
+    s2 = (focal / tz) ** 2
+    a = s2 * quad(u, u) + lowpass
+    b = s2 * quad(u, v)
+    c = s2 * quad(v, v) + lowpass
+    return a, b, c
 
 
 def project_gaussians(scene, camera: Camera,
@@ -105,15 +125,12 @@ def project_gaussians(scene, camera: Camera,
     """All per-gaussian screen-space quantities for one frame, vectorized."""
     view = camera.view_matrix()
     proj = camera.projection_matrix()
-    htanx, htany, focal = camera.htanfovxy_focal()
+    _, _, focal = camera.htanfovxy_focal()
 
-    cov3d = compute_cov3d(scene.quats, scene.scales)
-    cov2d = ewa_project(scene.means, cov3d, view, htanx, htany, focal,
-                        config.lowpass)
+    cov6 = compute_cov3d_packed(scene.quats, scene.scales)
+    a, b, c = ewa_project_packed(scene.means, cov6, view, focal,
+                                 config.lowpass)
 
-    a = cov2d[:, 0, 0]
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1]
     det = a * c - b * b
     det_safe = jnp.where(det > 0, det, 1.0)
     inv_det = 1.0 / det_safe
@@ -123,14 +140,14 @@ def project_gaussians(scene, camera: Camera,
         jnp.maximum(jnp.stack([a, c], axis=-1), 0.0))          # (N,2) px
 
     # Clip-space center -> NDC -> pixel (reference src/pipelines.rs:37-48,
-    # pixel mapping notes/util.py:109-111).
-    hi = jax.lax.Precision.HIGHEST
+    # pixel mapping notes/util.py:109-111).  Elementwise: the glm projection
+    # matrix is sparse, so x_clip = P00 x, y_clip = P11 y,
+    # w_clip = -z (P32 = -1) — no matmul needed.
     pos_cam = _pos_cam(scene.means, view)
-    clip = jnp.einsum("nj,ij->ni", pos_cam, proj[:3, :3],
-                      precision=hi) + proj[:3, 3]
-    clip_w = jnp.einsum("nj,j->n", pos_cam, proj[3, :3],
-                        precision=hi) + proj[3, 3]
-    ndc = clip[:, :2] / clip_w[:, None]
+    clip_x = proj[0, 0] * pos_cam[:, 0]
+    clip_y = proj[1, 1] * pos_cam[:, 1]
+    clip_w = -pos_cam[:, 2]
+    ndc = jnp.stack([clip_x, clip_y], axis=-1) / clip_w[:, None]
     center_px = ndc_to_pixel(ndc, camera.w, camera.h)
 
     depth = -pos_cam[:, 2]                                     # view depth >0 in front

@@ -94,14 +94,22 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     first_slot = cum - counts                       # exclusive prefix sum
     overflow = jnp.maximum(total - k_cap, 0)
 
-    # -- 3. slot -> gaussian via scatter + cumsum --------------------------
-    # Scatter a 1 at each gaussian's first slot (zero-count gaussians stack
-    # on the next start; the cumsum then skips them correctly), then
-    # cumsum-1 maps every slot to its source gaussian.
-    mark = jnp.zeros((k_cap + 1,), jnp.int32).at[
-        jnp.minimum(first_slot, k_cap)].add(1, mode="drop")
-    g_of_slot = (jnp.cumsum(mark[:k_cap]) - 1)
+    # -- 3. slot -> gaussian map ------------------------------------------
     slot_ids = jnp.arange(k_cap, dtype=jnp.int32)
+    if config.slot_method == "scatter":
+        # Scatter a 1 at each gaussian's first slot (zero-count gaussians
+        # stack on the next start; the cumsum then skips them correctly),
+        # then cumsum-1 maps every slot to its source gaussian.
+        mark = jnp.zeros((k_cap + 1,), jnp.int32).at[
+            jnp.minimum(first_slot, k_cap)].add(1, mode="drop")
+        g_of_slot = (jnp.cumsum(mark[:k_cap]) - 1)
+    else:
+        # Vectorized binary search: slot k belongs to the gaussian whose
+        # cumulative-count interval contains it.  O(K log N) gathers but no
+        # scatter (TPU scatters serialize badly at large N).
+        g_of_slot = jnp.searchsorted(cum, slot_ids, side="right"
+                                     ).astype(jnp.int32)
+        g_of_slot = jnp.minimum(g_of_slot, n - 1)
     r_of_slot = slot_ids - first_slot[g_of_slot]
 
     sw = span_w[g_of_slot]

@@ -116,8 +116,10 @@ def _raster_kernel(
         power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
         alpha = jnp.minimum(alpha_clamp, op * jnp.exp(power))
         k_global = base + j * chunk + lane        # (1, chunk)
-        keep = ((power <= 0.0)
-                & (alpha >= alpha_min)
+        # No power<=0 test here: visibility gating requires det(cov2d)>0
+        # (projection.py), so the conic is PSD and power<=0 always holds;
+        # the reference's check (src/pipelines.rs:135) is defensive only.
+        keep = ((alpha >= alpha_min)
                 & (jnp.abs(dx) <= rx) & (jnp.abs(dy) <= ry)
                 & (k_global >= s) & (k_global < e))
         alpha = jnp.where(keep, alpha, 0.0)

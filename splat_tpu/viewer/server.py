@@ -1,0 +1,167 @@
+"""Interactive viewer: a local HTTP server streaming rendered frames.
+
+The TPU-native replacement for the reference's minifb window + arrow-key
+loop (reference: src/main.rs:41-80).  A TPU host is headless, so instead of
+an OS window the viewer serves a small HTML page; the browser sends pose
+updates (arrow keys = +-10 degrees yaw/pitch like the reference, R = reset,
+drag to orbit, wheel to dolly) and fetches re-rendered PNG frames.  Like the
+reference's dirty-flag loop, a frame is only rendered when the pose changed.
+
+Stdlib-only (http.server); frames are encoded with the pure-python PNG
+writer.  Single render thread — the device is serialized behind a lock.
+"""
+
+from __future__ import annotations
+
+import io
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+_PAGE = """<!doctype html>
+<html><head><title>splat_tpu viewer</title><style>
+ body { margin:0; background:#111; color:#ccc; font:13px monospace; }
+ #hud { position:fixed; top:8px; left:8px; background:#000a; padding:6px 10px;
+        border-radius:4px; white-space:pre; }
+ img  { display:block; margin:0 auto; image-rendering:pixelated; }
+</style></head>
+<body>
+<div id="hud">loading…</div>
+<img id="view" width="__W__" height="__H__">
+<script>
+let yaw = 0, pitch = 0, dist = 1.0, busy = false, dirty = true, t0 = 0;
+const hud = document.getElementById('hud');
+const img = document.getElementById('view');
+async function tick() {
+  if (dirty && !busy) {
+    busy = true; dirty = false; t0 = performance.now();
+    const q = `yaw=${yaw}&pitch=${pitch}&dist=${dist}&t=${Date.now()}`;
+    img.src = '/frame.png?' + q;
+    await img.decode().catch(()=>{});
+    const ms = (performance.now() - t0).toFixed(0);
+    hud.textContent =
+      `yaw ${(yaw*180/Math.PI).toFixed(1)}°  pitch ${(pitch*180/Math.PI).toFixed(1)}°` +
+      `  dist x${dist.toFixed(2)}  frame ${ms} ms\\n` +
+      `arrows: orbit (±10°)   drag: orbit   wheel: dolly   R: reset`;
+    busy = false;
+  }
+  requestAnimationFrame(tick);
+}
+const STEP = 10 * Math.PI / 180;           // reference: ±10° per keypress
+addEventListener('keydown', e => {
+  if (e.key === 'ArrowLeft')  { yaw -= STEP; dirty = true; }
+  if (e.key === 'ArrowRight') { yaw += STEP; dirty = true; }
+  if (e.key === 'ArrowUp')    { pitch += STEP; dirty = true; }
+  if (e.key === 'ArrowDown')  { pitch -= STEP; dirty = true; }
+  if (e.key === 'r' || e.key === 'R') { yaw = 0; pitch = 0; dist = 1; dirty = true; }
+});
+let dragging = false, lx = 0, ly = 0;
+img.addEventListener('mousedown', e => { dragging = true; lx = e.clientX; ly = e.clientY; });
+addEventListener('mouseup', () => dragging = false);
+addEventListener('mousemove', e => {
+  if (!dragging) return;
+  yaw   += (e.clientX - lx) * 0.01;
+  pitch -= (e.clientY - ly) * 0.01;
+  lx = e.clientX; ly = e.clientY; dirty = true;
+});
+addEventListener('wheel', e => {
+  dist = Math.min(10, Math.max(0.1, dist * (e.deltaY > 0 ? 1.1 : 0.9)));
+  dirty = true;
+});
+tick();
+</script></body></html>
+"""
+
+
+def serve(scene, camera, config=None, *, host: str = "127.0.0.1",
+          port: int = 8000, method: str = "auto") -> None:
+    """Serve the interactive viewer (blocking).  Ctrl-C to stop."""
+    import jax
+
+    from splat_tpu.render.api import render_fn
+    from splat_tpu.utils.image import to_uint8
+
+    f = render_fn(method, config)
+    scene = scene.to_device()
+    lock = threading.Lock()
+    base_pos = np.asarray(jax.device_get(camera.position))
+    target = np.asarray(jax.device_get(camera.target))
+
+    def render_pose(yaw: float, pitch: float, dist: float) -> bytes:
+        cam = camera.with_pose(
+            yaw=yaw, pitch=pitch,
+            position=target + (base_pos - target) * dist)
+        with lock:
+            img = np.asarray(f(scene, cam))
+        buf = io.BytesIO()
+        _png_to(buf, img)
+        return buf.getvalue()
+
+    def _png_to(fobj, img):
+        import struct
+        import zlib
+        arr = to_uint8(img)
+        hh, ww, _ = arr.shape
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(hh))
+
+        def chunk(tag, payload):
+            import zlib as z
+            return (struct.pack(">I", len(payload)) + tag + payload
+                    + struct.pack(">I", z.crc32(tag + payload) & 0xFFFFFFFF))
+        fobj.write(b"\x89PNG\r\n\x1a\n")
+        fobj.write(chunk(b"IHDR",
+                         struct.pack(">IIBBBBB", ww, hh, 8, 2, 0, 0, 0)))
+        fobj.write(chunk(b"IDAT", zlib.compress(raw, 3)))
+        fobj.write(chunk(b"IEND", b""))
+
+    page = (_PAGE.replace("__W__", str(camera.w))
+            .replace("__H__", str(camera.h)))
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            from urllib.parse import parse_qs, urlparse
+
+            u = urlparse(self.path)
+            if u.path == "/":
+                body = page.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif u.path == "/frame.png":
+                q = parse_qs(u.query)
+                get = lambda k, d: float(q.get(k, [d])[0])
+                try:
+                    png = render_pose(get("yaw", 0.0), get("pitch", 0.0),
+                                      get("dist", 1.0))
+                except Exception as e:  # surface render errors to the client
+                    msg = f"render error: {e}".encode()
+                    self.send_response(500)
+                    self.send_header("Content-Length", str(len(msg)))
+                    self.end_headers()
+                    self.wfile.write(msg)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(png)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(png)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    srv = ThreadingHTTPServer((host, port), Handler)
+    print(f"splat_tpu viewer on http://{host}:{srv.server_address[1]}/ "
+          f"(N={scene.num_gaussians}, {camera.w}x{camera.h})")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()

@@ -66,3 +66,15 @@ def test_trim_and_info(scene_ply, tmp_path, capsys):
 def test_render_requires_scene():
     with pytest.raises(SystemExit):
         main(["render", "--size", "32x32"])
+
+
+def test_orbit_gif(scene_ply, tmp_path):
+    outdir = str(tmp_path / "frames2")
+    gif = str(tmp_path / "orbit.gif")
+    rc = main(["orbit", scene_ply, "--size", "48x32", "--pos", "0,0,4",
+               "--frames", "3", "--out-dir", outdir, "--gif", gif])
+    assert rc == 0
+    data = open(gif, "rb").read()
+    assert data[:6] == b"GIF89a"
+    assert data[-1:] == b"\x3b"
+    assert len(data) > 200

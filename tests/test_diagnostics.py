@@ -1,0 +1,35 @@
+import numpy as np
+
+from splat_tpu.camera import Camera
+from splat_tpu.config import RenderConfig
+from splat_tpu.scene import GaussianScene
+from splat_tpu.utils.diagnostics import frame_report, scene_health
+from splat_tpu.utils.fixtures import naive_gaussians, random_scene
+
+
+def test_scene_health_clean():
+    rep = scene_health(random_scene(32, seed=0))
+    assert rep["ok"]
+    assert rep["means"]["nan"] == 0
+
+
+def test_scene_health_detects_nans():
+    scene = naive_gaussians()
+    d = scene.to_numpy()
+    d["means"][1, 0] = np.nan
+    d["opacities"][2] = 1.5
+    bad = GaussianScene(**{k: v for k, v in d.items()})
+    rep = scene_health(bad)
+    assert not rep["ok"]
+    assert rep["means"]["nan"] == 1
+    assert rep["opacities"]["out_of_range"] == 1
+
+
+def test_frame_report():
+    scene = random_scene(128, seed=2, extent=1.5, scale_range=(0.03, 0.1))
+    cam = Camera.create(h=64, w=64, position=(0.0, 0.0, 4.0))
+    rep = frame_report(scene, cam, RenderConfig(chunk=64))
+    assert rep["visible"] > 0
+    assert rep["num_pairs"] >= rep["visible"]
+    assert 0 < rep["nonzero_pixel_frac"] <= 1
+    assert rep["overflow"] == 0
