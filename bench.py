@@ -36,8 +36,12 @@ def main() -> None:
     frames = int(os.environ.get("SPLAT_BENCH_FRAMES", 20))
 
     config = RenderConfig()
-    scene = st.random_scene(n, seed=0, extent=3.0,
-                            scale_range=(0.004, 0.03)).to_device()
+    kind = os.environ.get("SPLAT_BENCH_SCENE", "random")
+    if kind == "surface":
+        scene = st.surface_scene(n, seed=0).to_device()
+    else:
+        scene = st.random_scene(n, seed=0, extent=3.0,
+                                scale_range=(0.004, 0.03)).to_device()
     camera = st.Camera.create(h=h, w=w, position=(0.0, 0.0, 4.0))
 
     def chained(scene, cam):

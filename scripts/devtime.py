@@ -33,10 +33,14 @@ def main():
     ap.add_argument("--extent", type=float, default=3.0)
     ap.add_argument("--empty", action="store_true",
                     help="camera looks away: measures fixed overhead")
-    ap.add_argument("--stage", choices=["full", "project", "bins"],
+    ap.add_argument("--stage",
+                    choices=["full", "project", "bins", "bins_order",
+                             "bins_counts", "bins_slots", "bins_tiles",
+                             "bins_sort", "bins_edges"],
                     default="full")
     ap.add_argument("--slot", choices=["scatter", "searchsorted"],
                     default="scatter")
+    ap.add_argument("--nocull", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -55,7 +59,8 @@ def main():
     tgt = (0.0, 0.0, 500.0) if args.empty else (0.0, 0.0, 0.0)
     cam = st.Camera.create(h=args.h, w=args.w, position=pos, target=tgt)
     config = RenderConfig(tile_px=args.tile, chunk=args.chunk,
-                          max_dup_factor=args.dup, slot_method=args.slot)
+                          max_dup_factor=args.dup, slot_method=args.slot,
+                          cull_pairs=not args.nocull)
 
     f_frames = args.frames
 
@@ -67,6 +72,11 @@ def main():
             p = project_gaussians(scene, c, config)
             b = build_tile_bins(p, args.h, args.w, config)
             return (jnp.sum(b.tile_end) + b.num_pairs).astype(jnp.float32)
+        if args.stage.startswith("bins_"):
+            p = project_gaussians(scene, c, config)
+            v = build_tile_bins(p, args.h, args.w, config,
+                                debug_stage=args.stage[5:])
+            return v.astype(jnp.float32)
         img = render_tiled(scene, c, config)
         return jnp.mean(img) * 3
 
@@ -95,7 +105,8 @@ def main():
     stats = {k: float(v) for k, v in jax.device_get(stats).items()}
     ms = dt / f_frames * 1e3
     print(f"n={args.n} {args.w}x{args.h} tile={args.tile} chunk={args.chunk} "
-          f"dup={args.dup} slot={args.slot} stage={args.stage} "
+          f"dup={args.dup} slot={args.slot} cull={not args.nocull} "
+          f"stage={args.stage} "
           f"empty={args.empty} | "
           f"{ms:.2f} ms/frame ({1e3 / ms:.1f} FPS) "
           f"compile={compile_s:.0f}s pairs={stats['num_pairs']:.0f} "

@@ -26,7 +26,8 @@ from splat_tpu.scene import GaussianScene
 from splat_tpu.camera import Camera
 from splat_tpu.io.ply import load_ply, save_ply
 from splat_tpu.render.api import render, render_fn
-from splat_tpu.utils.fixtures import naive_gaussians, random_scene
+from splat_tpu.utils.fixtures import (naive_gaussians, random_scene,
+                                      surface_scene)
 
 __version__ = "0.1.0"
 
@@ -40,4 +41,5 @@ __all__ = [
     "render_fn",
     "naive_gaussians",
     "random_scene",
+    "surface_scene",
 ]

@@ -59,6 +59,12 @@ class RenderConfig:
     # cumsum) or "searchsorted" (vectorized binary search).  Identical
     # results; relative speed is hardware/size dependent.
     slot_method: str = "scatter"
+    # Drop (gaussian, tile) pairs whose best-case alpha anywhere in the tile
+    # is below alpha_min (lossless: the kernel's per-pixel cutoff would zero
+    # them anyway).  Default off: measured as a net regression at 1M on v5e
+    # (the extra K-sized passes cost more than the kernel work saved);
+    # revisit for big-splat scenes once binning is optimized.
+    cull_pairs: bool = False
     background: tuple[float, float, float] = (0.0, 0.0, 0.0)
     # Radius of the splat bounding box in standard deviations.  The reference
     # uses 3-sigma quads (src/pipelines.rs:27).

@@ -185,3 +185,61 @@ def render_batch_sharded(scene, cameras: Camera, mesh: Mesh,
         out_specs=P("d"),
         check_vma=False)
     return fn_mapped(scene, cameras)
+
+
+def _render_slab_tiled(proj, row0, h_local: int, w: int,
+                       config: RenderConfig, interpret: bool):
+    """Tile-binned rasterization of a horizontal row slab [row0, row0+h_local).
+
+    Shifts projected centers into slab coordinates and re-gates visibility to
+    splats whose bbox intersects the slab, then reuses the single-device
+    binning + Pallas kernel on the slab's own tile grid.
+    """
+    import dataclasses as _dc
+
+    from splat_tpu.render.binning import build_tile_bins
+    from splat_tpu.render.kernels import rasterize_tiles
+
+    shift = jnp.stack([jnp.zeros_like(row0.astype(jnp.float32)),
+                       row0.astype(jnp.float32)])
+    center = proj.center_px - shift[None, :]
+    lo_y = center[:, 1] - proj.radius_px[:, 1]
+    hi_y = center[:, 1] + proj.radius_px[:, 1]
+    visible = proj.visible & (hi_y > 0) & (lo_y < h_local)
+    proj2 = _dc.replace(proj, center_px=center, visible=visible)
+    bins = build_tile_bins(proj2, h_local, w, config)
+    return rasterize_tiles(bins, h_local, w, config, interpret=interpret)
+
+
+def render_sharded_tiled(scene, camera: Camera, mesh: Mesh,
+                         config: RenderConfig | None = None) -> jax.Array:
+    """Single-frame tile-binned render, gaussians sharded over mesh axis 'g'.
+
+    Same project-local / all-gather-compact / composite-slab decomposition as
+    :func:`render_sharded`, but each chip rasterizes its row slab with the
+    production tiled Pallas kernel instead of the dense compositor.
+    """
+    config = config or RenderConfig()
+    h, w = camera.h, camera.w
+    n_g = mesh.shape["g"]
+    if h % n_g:
+        raise ValueError(f"image height {h} not divisible by g={n_g}")
+    h_local = h // n_g
+    interpret = jax.default_backend() == "cpu"
+
+    def fn(scene_local, cam):
+        proj_local = project_gaussians(scene_local, cam, config)
+        proj = jax.tree.map(
+            lambda a: jax.lax.all_gather(a, "g", axis=0, tiled=True),
+            proj_local)
+        g_idx = jax.lax.axis_index("g")
+        slab = _render_slab_tiled(proj, g_idx * h_local, h_local, w,
+                                  config, interpret)
+        return jax.lax.all_gather(slab, "g", axis=0, tiled=True)
+
+    fn_mapped = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P("g"), scene), P()),
+        out_specs=P(),
+        check_vma=False)
+    return fn_mapped(scene, camera)

@@ -61,7 +61,10 @@ FEATURE_DIM = 16
 
 
 def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
-                    config: RenderConfig) -> TileBins:
+                    config: RenderConfig, debug_stage: str | None = None):
+    """debug_stage (profiling only): return a scalar checksum right after
+    the named sub-stage ('order', 'counts', 'slots', 'tiles', 'sort',
+    'edges') so each stage's device cost can be measured cumulatively."""
     tp = config.tile_px
     ntx = -(-w // tp)
     nty = -(-h // tp)
@@ -72,6 +75,8 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     # -- 1. front-to-back global order ------------------------------------
     depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
     order = jnp.argsort(depth_key)
+    if debug_stage == "order":
+        return jnp.sum(order)
 
     # -- 2. tile spans + pair counts (computed in original order, then the
     #       small N-sized fields are re-indexed into depth order) ----------
@@ -93,6 +98,8 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     total = cum[-1]
     first_slot = cum - counts                       # exclusive prefix sum
     overflow = jnp.maximum(total - k_cap, 0)
+    if debug_stage == "counts":
+        return total + jnp.sum(first_slot)
 
     # -- 3. slot -> gaussian map ------------------------------------------
     slot_ids = jnp.arange(k_cap, dtype=jnp.int32)
@@ -110,6 +117,8 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
         g_of_slot = jnp.searchsorted(cum, slot_ids, side="right"
                                      ).astype(jnp.int32)
         g_of_slot = jnp.minimum(g_of_slot, n - 1)
+    if debug_stage == "slots":
+        return jnp.sum(g_of_slot)
     r_of_slot = slot_ids - first_slot[g_of_slot]
 
     sw = span_w[g_of_slot]
@@ -117,17 +126,53 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     tile_row = ty0[g_of_slot] + r_of_slot // sw
     tile_id = tile_row * ntx + tile_col
     valid = slot_ids < jnp.minimum(total, k_cap)
+
+    if config.cull_pairs:
+        # Fine-grained pair culling: a pair is dead when even the most
+        # favorable pixel of the tile has alpha < alpha_min — exactly the
+        # kernel's own per-pixel cutoff, so dropping it is lossless.  Bound
+        # the quadratic form from below by lambda_min(conic) * dist^2 where
+        # dist is the center->tile-rect distance (conservative: lambda_min
+        # underestimates Q, so we only drop when certainly dead).
+        # Per-gaussian quantities (lambda_min, log threshold) are computed
+        # once at N; the per-slot lookup is ONE feature-major (4, K) gather.
+        ca_n, cb_n, cc_n = (proj.conic[:, i] for i in range(3))
+        half = 0.5 * (ca_n + cc_n)
+        lam_min_n = half - jnp.sqrt(
+            jnp.maximum(half * half - (ca_n * cc_n - cb_n * cb_n), 0.0))
+        thresh_n = 2.0 * jnp.log(
+            jnp.maximum(jnp.asarray(proj.opacity), 1e-12) / config.alpha_min)
+        cull_rows = jnp.stack([cx, cy, lam_min_n, thresh_n])   # (4, N)
+        vals = jnp.take(cull_rows, order[g_of_slot], axis=1)   # (4, K)
+        cxd, cyd, lam_min, thresh = vals[0], vals[1], vals[2], vals[3]
+        x0 = tile_col.astype(jnp.float32) * tp
+        y0 = tile_row.astype(jnp.float32) * tp
+        ddx = jnp.maximum(jnp.maximum(x0 - cxd, cxd - (x0 + tp - 1)), 0.0)
+        ddy = jnp.maximum(jnp.maximum(y0 - cyd, cyd - (y0 + tp - 1)), 0.0)
+        q_low = lam_min * (ddx * ddx + ddy * ddy)
+        # alpha_max = opacity * exp(-q_low / 2) < alpha_min  <=>
+        # q_low > 2 * log(opacity / alpha_min)
+        valid = valid & (q_low <= thresh)
+
     tile_id = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
+    if debug_stage == "tiles":
+        return jnp.sum(tile_id)
 
     # -- 4. stable sort by tile (preserves depth order within a tile) -----
     sorted_tile, sorted_g = jax.lax.sort((tile_id, g_of_slot), num_keys=1,
                                          is_stable=True)
+
+    if debug_stage == "sort":
+        return jnp.sum(sorted_tile) + jnp.sum(sorted_g)
 
     # -- 5. per-tile ranges -------------------------------------------------
     edges = jnp.searchsorted(sorted_tile,
                              jnp.arange(num_tiles + 1, dtype=jnp.int32),
                              side="left").astype(jnp.int32)
     tile_start, tile_end = edges[:-1], edges[1:]
+
+    if debug_stage == "edges":
+        return jnp.sum(edges)
 
     # -- 6. feature gather: one pass, feature-major ------------------------
     # (16, N) in ORIGINAL order; one combined K-gather via order[sorted_g]
@@ -148,5 +193,7 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     features = jnp.take(feats_t, src, axis=1)                 # (16, Kp)
 
     return TileBins(features=features, tile_start=tile_start,
-                    tile_end=tile_end, num_pairs=jnp.minimum(total, k_cap),
+                    tile_end=tile_end,
+                    # pairs the kernel will actually walk (post-cull)
+                    num_pairs=jnp.sum(valid.astype(jnp.int32)),
                     overflow=overflow, tiles_x=ntx, tiles_y=nty)

@@ -72,3 +72,68 @@ def random_scene(n: int, seed: int = 0, *, extent: float = 3.0,
 
     return GaussianScene.create(means=means, quats=quats.astype(np.float32),
                                 scales=scales, opacities=opacities, sh=sh)
+
+
+def surface_scene(n: int, seed: int = 0, *, extent: float = 2.0,
+                  sh_degree: int = 3) -> GaussianScene:
+    """Splats distributed on blobby surfaces, like trained 3DGS scenes.
+
+    Real pretrained models concentrate splats on 2D manifolds with
+    tangent-plane-anisotropic scales (thin along the normal) and high
+    opacity — which produces strong occlusion and very non-uniform tile
+    loads, the statistics that matter for benchmark realism (saturation
+    early-exit, per-tile range variance).  The uniform-ball
+    :func:`random_scene` underestimates both.
+    """
+    rng = np.random.default_rng(seed)
+    # a handful of deformed spheres + a ground plane
+    n_shapes = 5
+    per = n // n_shapes
+    means_list, normals_list = [], []
+    for i in range(n_shapes - 1):
+        center = rng.uniform(-0.5, 0.5, 3) * extent
+        rad = rng.uniform(0.2, 0.5) * extent
+        d = rng.normal(size=(per, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        bump = 1.0 + 0.15 * np.sin(5 * d[:, 0]) * np.cos(4 * d[:, 1])
+        means_list.append(center + rad * d * bump[:, None])
+        normals_list.append(d)
+    m = n - per * (n_shapes - 1)
+    xz = rng.uniform(-extent, extent, (m, 2))
+    ground = np.stack([xz[:, 0], np.full(m, 0.6 * extent), xz[:, 1]], 1)
+    means_list.append(ground)  # y-down world: +y is "floor"
+    normals_list.append(np.tile([0.0, -1.0, 0.0], (m, 1)))
+
+    means = np.concatenate(means_list).astype(np.float32)
+    normals = np.concatenate(normals_list).astype(np.float32)
+
+    # quaternion aligning local +z to the surface normal, random spin
+    def quat_from_z_to(v):
+        z = np.array([0.0, 0.0, 1.0])
+        c = v @ z
+        axis = np.cross(z, v)
+        norm = np.linalg.norm(axis, axis=1, keepdims=True)
+        axis = np.where(norm > 1e-6, axis / np.maximum(norm, 1e-12),
+                        np.array([1.0, 0.0, 0.0]))
+        half = np.arccos(np.clip(c, -1, 1))[:, None] / 2
+        return np.concatenate([np.cos(half), axis * np.sin(half)], 1)
+
+    quats = quat_from_z_to(normals).astype(np.float32)
+
+    area_scale = extent * np.sqrt(1.0 / max(n, 1))
+    tangent = np.exp(rng.normal(np.log(2.2 * area_scale), 0.45, (n, 2)))
+    normal_s = tangent.min(1, keepdims=True) * rng.uniform(0.1, 0.3, (n, 1))
+    scales = np.concatenate([tangent, normal_s], 1).astype(np.float32)
+
+    opacities = rng.beta(5.0, 1.5, n).astype(np.float32)  # mostly opaque
+
+    sh = np.zeros((n, 16, 3), np.float32)
+    base = 0.25 + 0.5 * (means / (2 * extent) + 0.5)
+    base += rng.uniform(-0.1, 0.1, (n, 3))
+    sh[:, 0, :] = (np.clip(base, 0, 1) - 0.5) / SH_C0
+    if sh_degree > 0:
+        ncoef = (sh_degree + 1) ** 2
+        sh[:, 1:ncoef, :] = rng.normal(0.0, 0.03, (n, ncoef - 1, 3))
+
+    return GaussianScene.create(means=means, quats=quats, scales=scales,
+                                opacities=opacities, sh=sh)

@@ -100,3 +100,14 @@ def test_back_to_front_ordering_matters():
     img = np.asarray(render_dense(scene, cam))
     center = img[16, 16]
     assert center[1] > 0.8 and center[0] < 0.2  # green in front
+
+
+def test_surface_scene_parity():
+    from splat_tpu.utils.fixtures import surface_scene
+    scene = surface_scene(400, seed=3)
+    cam = Camera.create(h=96, w=96, position=(0.0, -1.0, 3.5))
+    ours = np.asarray(render_dense(scene, cam))
+    gold = render_oracle(scene, cam)
+    p = psnr(ours, gold)
+    assert p >= 45.0, f"PSNR {p:.2f}"
+    assert gold.max() > 0.3

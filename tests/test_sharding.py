@@ -47,3 +47,15 @@ def test_render_sharded_2d_mesh_batch():
 def test_mesh_validation():
     with pytest.raises(ValueError, match="mesh"):
         make_mesh(n_data=3, n_gaussian=3)
+
+
+def test_render_sharded_tiled_matches_dense():
+    from splat_tpu.parallel.sharding import render_sharded_tiled
+    scene = random_scene(256, seed=21, extent=2.0, scale_range=(0.02, 0.1))
+    cam = Camera.create(h=64, w=64, position=(0.0, 0.0, 4.0))
+    config = RenderConfig(chunk=128)
+    mesh = make_mesh(n_data=1, n_gaussian=8)
+    got = np.asarray(render_sharded_tiled(scene, cam, mesh, config))
+    want = np.asarray(render_dense(scene, cam, config))
+    p = psnr(got, want)
+    assert p >= 45.0, f"sharded-tiled vs dense PSNR {p:.2f} dB"
