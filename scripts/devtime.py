@@ -38,8 +38,6 @@ def main():
                              "bins_counts", "bins_slots", "bins_tiles",
                              "bins_sort", "bins_edges"],
                     default="full")
-    ap.add_argument("--slot", choices=["scatter", "searchsorted"],
-                    default="scatter")
     ap.add_argument("--nocull", action="store_true")
     args = ap.parse_args()
 
@@ -59,7 +57,7 @@ def main():
     tgt = (0.0, 0.0, 500.0) if args.empty else (0.0, 0.0, 0.0)
     cam = st.Camera.create(h=args.h, w=args.w, position=pos, target=tgt)
     config = RenderConfig(tile_px=args.tile, chunk=args.chunk,
-                          max_dup_factor=args.dup, slot_method=args.slot,
+                          max_dup_factor=args.dup,
                           cull_pairs=not args.nocull)
 
     f_frames = args.frames
@@ -98,14 +96,16 @@ def main():
     t0 = time.time()
     out = jax.device_get(f(scene, cam))
     dt = time.time() - t0
-    # one stats probe
-    _, stats = jax.jit(lambda s, c: render_tiled(s, c, config,
-                                                 return_stats=True))(scene,
-                                                                     cam)
-    stats = {k: float(v) for k, v in jax.device_get(stats).items()}
+    if args.stage == "full":
+        _, stats = jax.jit(lambda s, c: render_tiled(s, c, config,
+                                                     return_stats=True))(
+            scene, cam)
+        stats = {k: float(v) for k, v in jax.device_get(stats).items()}
+    else:
+        stats = {"num_pairs": -1, "max_tile_pairs": -1, "overflow": -1}
     ms = dt / f_frames * 1e3
     print(f"n={args.n} {args.w}x{args.h} tile={args.tile} chunk={args.chunk} "
-          f"dup={args.dup} slot={args.slot} cull={not args.nocull} "
+          f"dup={args.dup} cull={not args.nocull} "
           f"stage={args.stage} "
           f"empty={args.empty} | "
           f"{ms:.2f} ms/frame ({1e3 / ms:.1f} FPS) "

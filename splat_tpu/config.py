@@ -55,10 +55,6 @@ class RenderConfig:
     tile_px: int = 32
     max_dup_factor: int = 6
     chunk: int = 128
-    # slot->gaussian expansion strategy in binning: "scatter" (scatter-add +
-    # cumsum) or "searchsorted" (vectorized binary search).  Identical
-    # results; relative speed is hardware/size dependent.
-    slot_method: str = "scatter"
     # Drop (gaussian, tile) pairs whose best-case alpha anywhere in the tile
     # is below alpha_min (lossless: the kernel's per-pixel cutoff would zero
     # them anyway).  Default off: measured as a net regression at 1M on v5e

@@ -22,12 +22,12 @@ exact while the collective payload stays small.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from splat_tpu.camera import Camera
 from splat_tpu.config import RenderConfig

@@ -7,7 +7,7 @@ input (the reference's dirty-flag re-render loop at src/main.rs:69-78 maps to
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

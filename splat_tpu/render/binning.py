@@ -101,29 +101,49 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     if debug_stage == "counts":
         return total + jnp.sum(first_slot)
 
-    # -- 3. slot -> gaussian map ------------------------------------------
+    # -- 3. per-slot expansion via batched diff-scatter-cumsum -------------
+    # TPU gathers cost ~6-7 ns per INDEX (scalar-core bound): a K-sized
+    # gather is ~40 ms at K=6M, and the naive formulation needs five of
+    # them.  Instead, any int32 per-gaussian sequence v expands to slots
+    # exactly by scattering wrapped differences at each gaussian's first
+    # slot and taking a wrapping cumulative sum (telescoping; zero-count
+    # gaussians stack their deltas on the next start, which telescopes
+    # through).  One batched scatter + one batched cumsum expand all three
+    # sequences at once:
+    #   row 0: geometry word  tx0 | ty0<<11 | span_w<<22   (11+11+10 bits)
+    #   row 1: first_slot     (for r_of_slot)
+    #   row 2: original gaussian index (becomes the sort payload ->
+    #          feature-gather source; no order[sorted_g] gather needed)
+    if ntx > 2048 or nty > 2048:
+        raise ValueError(
+            f"tile grid {ntx}x{nty} exceeds the 11-bit packed-geometry "
+            f"budget; raise tile_px")
     slot_ids = jnp.arange(k_cap, dtype=jnp.int32)
-    if config.slot_method == "scatter":
-        # Scatter a 1 at each gaussian's first slot (zero-count gaussians
-        # stack on the next start; the cumsum then skips them correctly),
-        # then cumsum-1 maps every slot to its source gaussian.
-        mark = jnp.zeros((k_cap + 1,), jnp.int32).at[
-            jnp.minimum(first_slot, k_cap)].add(1, mode="drop")
-        g_of_slot = (jnp.cumsum(mark[:k_cap]) - 1)
-    else:
-        # Vectorized binary search: slot k belongs to the gaussian whose
-        # cumulative-count interval contains it.  O(K log N) gathers but no
-        # scatter (TPU scatters serialize badly at large N).
-        g_of_slot = jnp.searchsorted(cum, slot_ids, side="right"
-                                     ).astype(jnp.int32)
-        g_of_slot = jnp.minimum(g_of_slot, n - 1)
+    geom = tx0 | (ty0 << 11) | (span_w << 22)
+    rows = jnp.stack([geom, first_slot, order.astype(jnp.int32)])  # (3, N)
+    deltas = jnp.concatenate(
+        [rows[:, :1], rows[:, 1:] - rows[:, :-1]], axis=1)         # wraps ok
+    idx = jnp.minimum(first_slot, k_cap)
+    scattered = jnp.zeros((3, k_cap + 1), jnp.int32).at[
+        :, idx].add(deltas, mode="drop")
+    expanded = jnp.cumsum(scattered[:, :k_cap], axis=1)            # (3, K)
+    geom_e, first_e, orig_e = expanded[0], expanded[1], expanded[2]
     if debug_stage == "slots":
-        return jnp.sum(g_of_slot)
-    r_of_slot = slot_ids - first_slot[g_of_slot]
+        return jnp.sum(orig_e)
 
-    sw = span_w[g_of_slot]
-    tile_col = tx0[g_of_slot] + r_of_slot % sw
-    tile_row = ty0[g_of_slot] + r_of_slot // sw
+    tx0_e = geom_e & 0x7FF
+    ty0_e = (geom_e >> 11) & 0x7FF
+    sw = geom_e >> 22
+    r_of_slot = slot_ids - first_e
+    # r // sw and r % sw with a VECTOR divisor are software-emulated
+    # (bit-serial) integer division on TPU.  r_of_slot < span area <= a few
+    # thousand, so exact f32 reciprocal math is safe: (r + 0.5)/sw floors to
+    # the true quotient for any integer r < 2^22.
+    rf = r_of_slot.astype(jnp.float32) + 0.5
+    dy = jnp.floor(rf / sw.astype(jnp.float32)).astype(jnp.int32)
+    dx_ = r_of_slot - dy * sw
+    tile_col = tx0_e + dx_
+    tile_row = ty0_e + dy
     tile_id = tile_row * ntx + tile_col
     valid = slot_ids < jnp.minimum(total, k_cap)
 
@@ -134,8 +154,8 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
         # the quadratic form from below by lambda_min(conic) * dist^2 where
         # dist is the center->tile-rect distance (conservative: lambda_min
         # underestimates Q, so we only drop when certainly dead).
-        # Per-gaussian quantities (lambda_min, log threshold) are computed
-        # once at N; the per-slot lookup is ONE feature-major (4, K) gather.
+        # Per-gaussian quantities are computed once at N; the per-slot
+        # lookup is ONE feature-major (4, K) gather.
         ca_n, cb_n, cc_n = (proj.conic[:, i] for i in range(3))
         half = 0.5 * (ca_n + cc_n)
         lam_min_n = half - jnp.sqrt(
@@ -143,7 +163,7 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
         thresh_n = 2.0 * jnp.log(
             jnp.maximum(jnp.asarray(proj.opacity), 1e-12) / config.alpha_min)
         cull_rows = jnp.stack([cx, cy, lam_min_n, thresh_n])   # (4, N)
-        vals = jnp.take(cull_rows, order[g_of_slot], axis=1)   # (4, K)
+        vals = jnp.take(cull_rows, orig_e, axis=1)             # (4, K)
         cxd, cyd, lam_min, thresh = vals[0], vals[1], vals[2], vals[3]
         x0 = tile_col.astype(jnp.float32) * tp
         y0 = tile_row.astype(jnp.float32) * tp
@@ -158,26 +178,24 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     if debug_stage == "tiles":
         return jnp.sum(tile_id)
 
-    # -- 4. stable sort by tile (preserves depth order within a tile) -----
-    sorted_tile, sorted_g = jax.lax.sort((tile_id, g_of_slot), num_keys=1,
-                                         is_stable=True)
-
+    # -- 4. stable sort by tile (preserves depth order within a tile);
+    #       the payload is directly the feature-gather source index -------
+    sorted_tile, sorted_src = jax.lax.sort((tile_id, orig_e), num_keys=1,
+                                           is_stable=True)
     if debug_stage == "sort":
-        return jnp.sum(sorted_tile) + jnp.sum(sorted_g)
+        return jnp.sum(sorted_tile) + jnp.sum(sorted_src)
 
     # -- 5. per-tile ranges -------------------------------------------------
     edges = jnp.searchsorted(sorted_tile,
                              jnp.arange(num_tiles + 1, dtype=jnp.int32),
                              side="left").astype(jnp.int32)
     tile_start, tile_end = edges[:-1], edges[1:]
-
     if debug_stage == "edges":
         return jnp.sum(edges)
 
-    # -- 6. feature gather: one pass, feature-major ------------------------
-    # (16, N) in ORIGINAL order; one combined K-gather via order[sorted_g]
-    # lands columns directly in (tile, depth) order with the kernel's
-    # lane-major layout — no transpose, no pad copy.
+    # -- 6. feature gather: the one unavoidable K-gather, feature-major ----
+    # (16, N) in ORIGINAL order; each sorted pair pulls its gaussian's
+    # 64-byte feature column in a single index operation.
     feats_t = jnp.stack([
         cx, cy,
         proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
@@ -187,9 +205,8 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
         proj.opacity, rx, ry,
     ])                                                        # (11, N)
     feats_t = jnp.pad(feats_t, ((0, FEATURE_DIM - 11), (0, 0)))
-    src = order[sorted_g]                                     # (K_cap,)
     # chunk padding so the kernel's fixed-size DMA never reads out of bounds
-    src = jnp.pad(src, (0, config.chunk), constant_values=0)
+    src = jnp.pad(sorted_src, (0, config.chunk), constant_values=0)
     features = jnp.take(feats_t, src, axis=1)                 # (16, Kp)
 
     return TileBins(features=features, tile_start=tile_start,

@@ -16,7 +16,7 @@ pipelines well.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
