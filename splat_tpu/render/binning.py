@@ -89,10 +89,13 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     counts_o = jnp.where(proj.visible,
                          (tx1_o - tx0_o + 1) * (ty1_o - ty0_o + 1),
                          0).astype(jnp.int32)
-    tx0 = tx0_o[order]
-    ty0 = ty0_o[order]
-    span_w = (tx1_o - tx0_o + 1)[order]
-    counts = counts_o[order]
+    # Pack the per-gaussian geometry into one word in ORIGINAL order, then a
+    # single 2-row take moves (geometry, counts) into depth order — each
+    # TPU gather index costs ~6-7 ns regardless of row count, so one 2-row
+    # gather beats four 1-row gathers ~2x.
+    geom_o = tx0_o | (ty0_o << 11) | ((tx1_o - tx0_o + 1) << 22)
+    gc = jnp.take(jnp.stack([geom_o, counts_o]), order, axis=1)   # (2, N)
+    geom, counts = gc[0], gc[1]
 
     cum = jnp.cumsum(counts)
     total = cum[-1]
@@ -119,15 +122,21 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
             f"tile grid {ntx}x{nty} exceeds the 11-bit packed-geometry "
             f"budget; raise tile_px")
     slot_ids = jnp.arange(k_cap, dtype=jnp.int32)
-    geom = tx0 | (ty0 << 11) | (span_w << 22)
     rows = jnp.stack([geom, first_slot, order.astype(jnp.int32)])  # (3, N)
     deltas = jnp.concatenate(
         [rows[:, :1], rows[:, 1:] - rows[:, :-1]], axis=1)         # wraps ok
     idx = jnp.minimum(first_slot, k_cap)
-    scattered = jnp.zeros((3, k_cap + 1), jnp.int32).at[
-        :, idx].add(deltas, mode="drop")
-    expanded = jnp.cumsum(scattered[:, :k_cap], axis=1)            # (3, K)
-    geom_e, first_e, orig_e = expanded[0], expanded[1], expanded[2]
+    # barrier: keep the scatters PURE (fused update computations re-evaluate
+    # per update on the scalar core), and use three 1-row scatters — the
+    # batched windowed form scatters 3-element columns into a minor-dim-3
+    # layout, which measured 46 ms vs ~3 ms for plain row scatters.
+    deltas, idx = jax.lax.optimization_barrier((deltas, idx))
+    expanded = [
+        jnp.cumsum(jnp.zeros((k_cap + 1,), jnp.int32).at[idx].add(
+            deltas[r], mode="drop")[:k_cap])
+        for r in range(3)
+    ]
+    geom_e, first_e, orig_e = expanded
     if debug_stage == "slots":
         return jnp.sum(orig_e)
 
