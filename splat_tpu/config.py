@@ -53,7 +53,7 @@ class RenderConfig:
     alpha_clamp: float = 0.99
     alpha_min: float = 1.0 / 255.0
     tile_px: int = 32
-    max_dup_factor: int = 6
+    max_dup_factor: int = 4
     chunk: int = 128
     # Drop (gaussian, tile) pairs whose best-case alpha anywhere in the tile
     # is below alpha_min (lossless: the kernel's per-pixel cutoff would zero

@@ -89,11 +89,26 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     counts_o = jnp.where(proj.visible,
                          (tx1_o - tx0_o + 1) * (ty1_o - ty0_o + 1),
                          0).astype(jnp.int32)
+    # Adaptive bit budget for the packed expansion word (see step 3):
+    # tile coords need ceil(log2(ntx/nty)) bits, the span width one more
+    # than x, and the within-span index r = slot - first_slot is bounded by
+    # the span area (< num_tiles), so only the LOW bits of first_slot are
+    # needed — modular subtraction recovers r exactly.  When everything
+    # fits in 31 bits (sign clear), ONE expansion word carries geometry and
+    # first_slot together; otherwise first_slot gets its own row.
+    bits_x = max(int(ntx - 1).bit_length(), 1)
+    bits_y = max(int(nty - 1).bit_length(), 1)
+    bits_w = max(int(ntx).bit_length(), 1)
+    bits_r = max(int(num_tiles).bit_length(), 1)
+    packed_first = (1 + bits_x + bits_y + bits_w + bits_r) <= 32
+    shift_f = bits_x + bits_y + bits_w
+    mask_r = (1 << bits_r) - 1
     # Pack the per-gaussian geometry into one word in ORIGINAL order, then a
     # single 2-row take moves (geometry, counts) into depth order — each
     # TPU gather index costs ~6-7 ns regardless of row count, so one 2-row
     # gather beats four 1-row gathers ~2x.
-    geom_o = tx0_o | (ty0_o << 11) | ((tx1_o - tx0_o + 1) << 22)
+    geom_o = (tx0_o | (ty0_o << bits_x)
+              | ((tx1_o - tx0_o + 1) << (bits_x + bits_y)))
     gc = jnp.take(jnp.stack([geom_o, counts_o]), order, axis=1)   # (2, N)
     geom, counts = gc[0], gc[1]
 
@@ -113,37 +128,44 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     # gaussians stack their deltas on the next start, which telescopes
     # through).  One batched scatter + one batched cumsum expand all three
     # sequences at once:
-    #   row 0: geometry word  tx0 | ty0<<11 | span_w<<22   (11+11+10 bits)
-    #   row 1: first_slot     (for r_of_slot)
-    #   row 2: original gaussian index (becomes the sort payload ->
+    #   row 0: packed word: geometry (tx0, ty0, span_w) and, when the bit
+    #          budget allows, the low bits of first_slot (for r_of_slot)
+    #   row 1: original gaussian index (becomes the sort payload ->
     #          feature-gather source; no order[sorted_g] gather needed)
-    if ntx > 2048 or nty > 2048:
-        raise ValueError(
-            f"tile grid {ntx}x{nty} exceeds the 11-bit packed-geometry "
-            f"budget; raise tile_px")
     slot_ids = jnp.arange(k_cap, dtype=jnp.int32)
-    rows = jnp.stack([geom, first_slot, order.astype(jnp.int32)])  # (3, N)
+    if packed_first:
+        word = geom | ((first_slot & mask_r) << shift_f)
+        rows = jnp.stack([word, order.astype(jnp.int32)])          # (2, N)
+    else:
+        rows = jnp.stack([geom, first_slot,
+                          order.astype(jnp.int32)])                # (3, N)
     deltas = jnp.concatenate(
         [rows[:, :1], rows[:, 1:] - rows[:, :-1]], axis=1)         # wraps ok
     idx = jnp.minimum(first_slot, k_cap)
     # barrier: keep the scatters PURE (fused update computations re-evaluate
-    # per update on the scalar core), and use three 1-row scatters — the
-    # batched windowed form scatters 3-element columns into a minor-dim-3
-    # layout, which measured 46 ms vs ~3 ms for plain row scatters.
+    # per update on the scalar core), and use plain 1-row scatters — the
+    # batched windowed form scatters multi-element columns into a
+    # minor-dim-k layout, which measured 46 ms vs ~3 ms for row scatters.
     deltas, idx = jax.lax.optimization_barrier((deltas, idx))
     expanded = [
         jnp.cumsum(jnp.zeros((k_cap + 1,), jnp.int32).at[idx].add(
             deltas[r], mode="drop")[:k_cap])
-        for r in range(3)
+        for r in range(rows.shape[0])
     ]
-    geom_e, first_e, orig_e = expanded
+    if packed_first:
+        word_e, orig_e = expanded
+        geom_e = word_e  # low bits hold geometry; masks below select fields
+        first_low = (word_e >> shift_f) & mask_r
+        r_of_slot = (slot_ids - first_low) & mask_r
+    else:
+        geom_e, first_e, orig_e = expanded
+        r_of_slot = slot_ids - first_e
     if debug_stage == "slots":
         return jnp.sum(orig_e)
 
-    tx0_e = geom_e & 0x7FF
-    ty0_e = (geom_e >> 11) & 0x7FF
-    sw = geom_e >> 22
-    r_of_slot = slot_ids - first_e
+    tx0_e = geom_e & ((1 << bits_x) - 1)
+    ty0_e = (geom_e >> bits_x) & ((1 << bits_y) - 1)
+    sw = (geom_e >> (bits_x + bits_y)) & ((1 << bits_w) - 1)
     # r // sw and r % sw with a VECTOR divisor are software-emulated
     # (bit-serial) integer division on TPU.  r_of_slot < span area <= a few
     # thousand, so exact f32 reciprocal math is safe: (r + 0.5)/sw floors to
