@@ -161,6 +161,23 @@ def perspective(fovy, aspect, znear, zfar) -> jax.Array:
     ]).astype(jnp.float32)
 
 
+def world_to_cam(camera: "Camera", points: jax.Array) -> jax.Array:
+    """(N, 3) world -> camera space (reference notes/util.py:69-80)."""
+    view = camera.view_matrix()
+    points = jnp.asarray(points, jnp.float32)
+    return points @ view[:3, :3].T + view[:3, 3]
+
+
+def cam_to_ndc(camera: "Camera", points_cam: jax.Array) -> jax.Array:
+    """(N, 3) camera space -> (N, 3) NDC with perspective divide
+    (reference notes/util.py:86-93)."""
+    proj = camera.projection_matrix()
+    p = jnp.asarray(points_cam, jnp.float32)
+    clip = p @ proj[:3, :3].T + proj[:3, 3]
+    w_clip = p @ proj[3, :3] + proj[3, 3]
+    return clip / w_clip[:, None]
+
+
 def ndc_to_pixel(ndc_xy: jax.Array, w: int, h: int) -> jax.Array:
     """NDC [-1,1]^2 -> pixel coords with the y-flip the loaders use
     (reference notes/util.py:99-114):  x_px = (x+1) w/2,  y_px = (1-y) h/2.

@@ -35,6 +35,8 @@ def _add_render_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--background", default="0,0,0")
     p.add_argument("--method", choices=["auto", "dense", "tiled"],
                    default="auto")
+    p.add_argument("--profile", metavar="LOGDIR", default=None,
+                   help="capture a TensorBoard device profile of the render")
     p.add_argument("--no-center", action="store_true",
                    help="skip mean-centering positions at load")
     p.add_argument("--naive", action="store_true",
@@ -87,7 +89,16 @@ def cmd_render(args) -> int:
     scene = _load(args).to_device()
     cam = _camera(args)
     t0 = time.time()
-    img = np.asarray(render(scene, cam, _config(args), method=args.method))
+    if args.profile:
+        from splat_tpu.utils.diagnostics import profile_trace
+        import contextlib
+        ctx = profile_trace(args.profile)
+    else:
+        import contextlib
+        ctx = contextlib.nullcontext()
+    with ctx:
+        img = np.asarray(render(scene, cam, _config(args),
+                                method=args.method))
     # The reference prints per-frame timing (src/main.rs:77).
     print(f"Rendering took {(time.time() - t0) * 1e3:.1f} ms "
           f"(N={scene.num_gaussians}, {cam.w}x{cam.h}, incl. compile)")

@@ -178,3 +178,27 @@ def test_behind_camera_invisible():
     proj = project_gaussians(scene, cam, RenderConfig())
     vis = np.asarray(proj.visible)
     assert not vis[0]  # origin splat is behind the camera
+
+
+def test_sort_gaussians_reference_order(naive_scene):
+    """Back-to-front: ascending camera-space z (most negative = farthest
+    first), reference src/gaussians.rs:297-306."""
+    from splat_tpu.ops.sort import (camera_space_z, sort_gaussians,
+                                    sort_gaussians_front_to_back)
+    cam = Camera.create(h=32, w=32, position=(0.0, 0.0, 5.0))
+    order = np.asarray(sort_gaussians(naive_scene, cam))
+    z = np.asarray(camera_space_z(naive_scene.means, cam.view_matrix()))
+    assert np.all(np.diff(z[order]) >= 0)  # ascending z = back-to-front
+    f2b = np.asarray(sort_gaussians_front_to_back(naive_scene, cam))
+    assert np.all(np.diff(z[f2b]) <= 0)
+
+
+def test_world_to_cam_and_ndc(naive_scene):
+    from splat_tpu.camera import cam_to_ndc, world_to_cam
+    cam = Camera.create(h=100, w=100, position=(0.0, 0.0, 3.0))
+    pc = np.asarray(world_to_cam(cam, naive_scene.means))
+    assert pc.shape == (4, 3)
+    # the origin splat sits 3 in front of the camera: z_cam = -3
+    np.testing.assert_allclose(pc[0], [0, 0, -3], atol=1e-5)
+    ndc = np.asarray(cam_to_ndc(cam, pc))
+    np.testing.assert_allclose(ndc[0][:2], 0.0, atol=1e-5)
