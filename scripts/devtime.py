@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--tile", type=int, default=32)
     ap.add_argument("--chunk", type=int, default=128)
-    ap.add_argument("--dup", type=int, default=6)
+    ap.add_argument("--dup", type=int, default=4)
     ap.add_argument("--scale", type=str, default="0.004,0.03")
     ap.add_argument("--extent", type=float, default=3.0)
     ap.add_argument("--empty", action="store_true",
@@ -38,7 +38,8 @@ def main():
                              "bins_counts", "bins_slots", "bins_tiles",
                              "bins_sort", "bins_edges"],
                     default="full")
-    ap.add_argument("--nocull", action="store_true")
+    ap.add_argument("--nocull", action="store_true", default=None)
+    ap.add_argument("--cull", dest="nocull", action="store_false")
     args = ap.parse_args()
 
     import jax
@@ -58,7 +59,7 @@ def main():
     cam = st.Camera.create(h=args.h, w=args.w, position=pos, target=tgt)
     config = RenderConfig(tile_px=args.tile, chunk=args.chunk,
                           max_dup_factor=args.dup,
-                          cull_pairs=not args.nocull)
+                          cull_pairs=(args.nocull is False))
 
     f_frames = args.frames
 
@@ -105,7 +106,7 @@ def main():
         stats = {"num_pairs": -1, "max_tile_pairs": -1, "overflow": -1}
     ms = dt / f_frames * 1e3
     print(f"n={args.n} {args.w}x{args.h} tile={args.tile} chunk={args.chunk} "
-          f"dup={args.dup} cull={not args.nocull} "
+          f"dup={args.dup} cull={args.nocull is False} "
           f"stage={args.stage} "
           f"empty={args.empty} | "
           f"{ms:.2f} ms/frame ({1e3 / ms:.1f} FPS) "
