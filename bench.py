@@ -53,6 +53,20 @@ def main() -> None:
             return jnp.mean(img), jnp.mean(img)
         return jax.lax.scan(step, jnp.float32(0.0), jnp.arange(frames))
 
+    # Capacity audit over the same camera sweep: a frame that overflows the
+    # duplication buffer silently drops its deepest pairs, so a capacity
+    # regression would otherwise LOOK like a speedup.  The headline number is
+    # only valid if overflow == 0 (reported in the JSON line either way).
+    def audit(scene, cam):
+        def step(_, i):
+            c = dataclasses.replace(
+                cam, yaw=cam.yaw + 0.01 * i.astype(jnp.float32))
+            _, stats = render_tiled(scene, c, config, return_stats=True)
+            return 0.0, (stats["overflow"], stats["num_pairs"],
+                         stats["visible"])
+        _, out = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(frames))
+        return jax.tree.map(jnp.max, out)
+
     try:
         f = jax.jit(chained)
         t0 = time.time()
@@ -62,6 +76,8 @@ def main() -> None:
         t0 = time.time()
         carry, means = jax.device_get(f(scene, camera))
         dt = (time.time() - t0) / frames
+        overflow, num_pairs, visible = (
+            int(x) for x in jax.device_get(jax.jit(audit)(scene, camera)))
     except Exception as e:  # pragma: no cover — report failure explicitly
         print(f"bench failed: {type(e).__name__}: {e}", file=sys.stderr)
         print(json.dumps({"metric": f"{h}p_fps_{n}_gaussians",
@@ -72,13 +88,22 @@ def main() -> None:
     fps = 1.0 / dt
     print(f"[bench] {n} gaussians @ {w}x{h}: {dt * 1e3:.2f} ms/frame "
           f"({fps:.2f} FPS, device-chained x{frames}); "
-          f"mean pixel {float(means.mean()):.4f}", file=sys.stderr)
+          f"mean pixel {float(means.mean()):.4f}; "
+          f"visible={visible} pairs={num_pairs} overflow={overflow}",
+          file=sys.stderr)
+    if overflow > 0:
+        print(f"[bench] WARNING: duplication-buffer overflow ({overflow} "
+              f"pairs dropped) — FPS number measures a truncated render; "
+              f"raise RenderConfig.max_dup_factor", file=sys.stderr)
     print(json.dumps({
         "metric": f"{h}p_fps_{n}_gaussians",
-        "value": round(fps, 3),
+        "value": round(fps, 3) if overflow == 0 else 0.0,
         "unit": "frames/sec",
         # north star: 30 FPS at 1080p on one chip (BASELINE.md)
-        "vs_baseline": round(fps / 30.0, 3),
+        "vs_baseline": round(fps / 30.0, 3) if overflow == 0 else 0.0,
+        "overflow": overflow,
+        "num_pairs": num_pairs,
+        "visible": visible,
     }))
 
 

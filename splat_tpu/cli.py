@@ -32,6 +32,9 @@ def _add_render_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--sh-degree", type=int, default=3)
     p.add_argument("--lowpass", type=float, default=0.3)
     p.add_argument("--tile", type=int, default=32)
+    p.add_argument("--dup-factor", type=int, default=4,
+                   help="duplication-buffer capacity as a multiple of N "
+                        "(raise on overflow warnings)")
     p.add_argument("--background", default="0,0,0")
     p.add_argument("--method", choices=["auto", "dense", "tiled"],
                    default="auto")
@@ -77,6 +80,7 @@ def _config(args):
     from splat_tpu.config import RenderConfig
     return RenderConfig(sh_degree=args.sh_degree, lowpass=args.lowpass,
                         tile_px=args.tile,
+                        max_dup_factor=getattr(args, "dup_factor", 4),
                         background=_parse_vec(args.background, 3))
 
 
@@ -115,10 +119,24 @@ def cmd_orbit(args) -> int:
     from splat_tpu.render.api import render_fn
     from splat_tpu.utils.image import write_png
 
+    from splat_tpu.render.api import resolve_method
+
     scene = _load(args).to_device()
     cam = _camera(args)
     os.makedirs(args.out_dir, exist_ok=True)
-    f = render_fn(args.method, _config(args))
+    config = _config(args)
+    method = resolve_method(args.method, scene)
+    if method == "tiled":
+        # Track duplication-buffer overflow across the trajectory so a
+        # truncated render never goes unreported (config.py contract).
+        from splat_tpu.render.tiled import render_tiled
+        f_stats = jax.jit(
+            lambda s, c: render_tiled(s, c, config, return_stats=True))
+        f = None
+    else:
+        f = render_fn(method, config)
+        f_stats = None
+    overflow_max = 0
     gif_frames = [] if args.gif else None
     cams = orbit_trajectory(cam, args.frames,
                             yaw_sweep=float(np.deg2rad(args.yaw_sweep)),
@@ -127,7 +145,12 @@ def cmd_orbit(args) -> int:
     for i in range(args.frames):
         c = jax.tree.map(lambda a: a[i], cams,
                          is_leaf=lambda a: hasattr(a, "shape"))
-        img = np.asarray(f(scene, c))
+        if f_stats is not None:
+            img, stats = f_stats(scene, c)
+            overflow_max = max(overflow_max, int(stats["overflow"]))
+        else:
+            img = f(scene, c)
+        img = np.asarray(img)
         write_png(os.path.join(args.out_dir, f"frame_{i:04d}.png"), img)
         if gif_frames is not None:
             gif_frames.append(img)
@@ -138,6 +161,10 @@ def cmd_orbit(args) -> int:
         dt = (time.time() - t0) / steady
         print(f"{steady} frames: {dt * 1e3:.1f} ms/frame "
               f"({1.0 / dt:.1f} FPS incl. host I/O)")
+    if overflow_max > 0:
+        print(f"WARNING: duplication-buffer overflow ({overflow_max} pairs "
+              f"dropped in the worst frame) — frames are truncated; raise "
+              f"--dup-factor / RenderConfig.max_dup_factor", file=sys.stderr)
     if gif_frames is not None:
         from splat_tpu.utils.gif import write_gif
         write_gif(args.gif, gif_frames, fps=args.gif_fps)
@@ -152,6 +179,21 @@ def cmd_trim(args) -> int:
     n = trim_ply(args.scene, args.out, count=args.count)
     print(f"wrote {n} splats to {args.out}")
     return 0
+
+
+def _sh_nonzero_bands(sh) -> int:
+    """Highest SH band with any nonzero rest coefficient.
+
+    Rest slots 0-2 are band 1, 3-7 band 2, 8-14 band 3 (coefficient-major
+    (N, 16, 3) layout; slot 0 of the 16 is the DC term, not a rest slot).
+    """
+    import numpy as np
+
+    rest_nonzero = (sh[:, 1:, :] != 0).any(axis=(0, 2))      # (15,)
+    if not rest_nonzero.any():
+        return 0
+    k = int(np.flatnonzero(rest_nonzero)[-1])
+    return 1 if k < 3 else 2 if k < 8 else 3
 
 
 def cmd_info(args) -> int:
@@ -170,9 +212,7 @@ def cmd_info(args) -> int:
                    "max": float(d["scales"].max())},
         "opacity": {"mean": float(d["opacities"].mean()),
                     "p50": float(np.median(d["opacities"]))},
-        "sh_nonzero_bands": int(
-            3 - (d["sh"][:, 1:, :] == 0).all(axis=(0, 2))[::-1].argmin()
-            if not (d["sh"][:, 1:, :] == 0).all() else 0),
+        "sh_nonzero_bands": _sh_nonzero_bands(d["sh"]),
         "memory_mb": round(sum(a.nbytes for a in d.values()) / 2 ** 20, 1),
     }
     print(json.dumps(stats, indent=2))
@@ -217,6 +257,15 @@ def cmd_bench(args) -> int:
     dt = (time.time() - t0) / frames
     print(f"{frames} frames (device-chained): {dt * 1e3:.2f} ms/frame "
           f"({1.0 / dt:.1f} FPS)")
+    _, stats = jax.jit(
+        lambda s, c: render_tiled(s, c, config, return_stats=True))(scene,
+                                                                    cam)
+    overflow = int(stats["overflow"])
+    print(f"pairs={int(stats['num_pairs'])} visible={int(stats['visible'])} "
+          f"overflow={overflow}")
+    if overflow > 0:
+        print("WARNING: overflow > 0 — the timing above measures a "
+              "truncated render; raise --dup-factor", file=sys.stderr)
     return 0
 
 

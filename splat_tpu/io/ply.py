@@ -14,7 +14,10 @@ vectorized binary parser.  Field semantics preserved exactly:
 * ``f_rest_0..44``     -> sh[:, 1:, :] after the channel-major ->
   coefficient-major transpose: the file stores all 15 R coefficients, then
   all 15 G, then all 15 B (notes/util_gau.py:82-84 reshapes (N,3,15) and
-  transposes to (N,15,3)).
+  transposes to (N,15,3)).  NOTE: this follows the Python/INRIA layout
+  only — the active Rust renderer stores f_rest RAW (``sh[3+i] = v``,
+  src/gaussians.rs:276-279), which mis-interleaves bands >= 1; see the
+  PARITY.md row for this fifth internal reference inconsistency.
 
 Unlike the reference (``unwrap()``/``panic!`` on anything unexpected), errors
 raise a typed :class:`PlyError` with a message naming the offending header

@@ -112,6 +112,15 @@ bool parse_header(FILE* f, Layout* lay) {
         }
         lay->f_rest[idx] = kv.second;
       }
+      // Duplicate f_rest_N properties leave -1 holes (the duplicate evicted
+      // another index under the size==count assumption); reading rec[-1]
+      // would be out of bounds, so reject the malformed file instead.
+      for (int off : lay->f_rest) {
+        if (off < 0) {
+          lay->error = "duplicate f_rest indices";
+          return false;
+        }
+      }
       if (!fmt_ok) { lay->error = "missing format line"; return false; }
       if (lay->xyz[0] < 0 || lay->xyz[1] < 0 || lay->xyz[2] < 0 ||
           lay->opacity < 0) {

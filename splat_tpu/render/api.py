@@ -17,6 +17,13 @@ from splat_tpu.camera import Camera
 from splat_tpu.config import RenderConfig
 
 
+def resolve_method(method: str, scene) -> str:
+    """'auto' -> 'dense' for tiny scenes, 'tiled' otherwise."""
+    if method == "auto":
+        return "dense" if scene.num_gaussians <= 4096 else "tiled"
+    return method
+
+
 def render_fn(method: str = "auto", config: RenderConfig | None = None):
     """Return a jitted ``f(scene, camera) -> float32 (H, W, 3)`` renderer.
 
@@ -42,9 +49,26 @@ def render_fn(method: str = "auto", config: RenderConfig | None = None):
 
 
 def render(scene, camera: Camera, config: RenderConfig | None = None,
-           method: str = "auto", as_uint8: bool = False):
-    """Render one frame.  Convenience wrapper over :func:`render_fn`."""
-    img = render_fn(method, config)(scene, camera)
+           method: str = "auto", as_uint8: bool = False,
+           check_overflow: bool = True):
+    """Render one frame.  Convenience wrapper over :func:`render_fn`.
+
+    When the tiled path is used, duplication-buffer overflow (pairs dropped
+    because ``max_dup_factor`` was too small) is checked and raises — the
+    capacity design promises no *silent* truncation.  Hot loops that want to
+    skip the per-frame device sync should use :func:`render_fn` and audit
+    overflow themselves via ``render_tiled(..., return_stats=True)``, or
+    pass ``check_overflow=False``.
+    """
+    config = config or RenderConfig()
+    m = method
+    if m == "auto":
+        m = "dense" if scene.num_gaussians <= 4096 else "tiled"
+    if m == "tiled" and check_overflow:
+        from splat_tpu.render.tiled import render_tiled_checked
+        img = render_tiled_checked(scene, camera, config)
+    else:
+        img = render_fn(m, config)(scene, camera)
     if as_uint8:
         img = (jnp.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
     return img

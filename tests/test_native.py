@@ -56,6 +56,22 @@ def test_native_rejects_ascii(tmp_path):
     assert scene.num_gaussians == 1
 
 
+def test_native_rejects_duplicate_f_rest(tmp_path):
+    """Duplicate f_rest_N properties would leave -1 holes in the layout and
+    an out-of-bounds rec[-1] read; the header parse must reject them."""
+    p = tmp_path / "dup.ply"
+    header = (b"ply\nformat binary_little_endian 1.0\n"
+              b"element vertex 1\n"
+              b"property float x\nproperty float y\nproperty float z\n"
+              b"property float opacity\n"
+              b"property float f_rest_0\nproperty float f_rest_0\n"
+              b"property float f_rest_2\n"
+              b"end_header\n")
+    p.write_bytes(header + b"\x00" * (7 * 4))
+    with pytest.raises(NativeUnsupported, match="duplicate"):
+        load_ply_native(p)
+
+
 def test_native_is_default_and_fast(ply_file):
     t0 = time.perf_counter()
     a = load_ply(ply_file, center=False)  # auto: native

@@ -102,6 +102,28 @@ def test_back_to_front_ordering_matters():
     assert center[1] > 0.8 and center[0] < 0.2  # green in front
 
 
+def test_sh_eye_convention_at_nonzero_yaw(small_random_scene):
+    """Pins the SH ray-direction convention (PARITY.md): rays originate at
+    the ORBITED eye, a deliberate deviation from the Rust renderer (which
+    uses the stale un-orbited camera.position, src/pipelines.rs:99).  The
+    oracle shares the convention, so an orbited camera with sh_degree>=1
+    must still hit parity — and the view-dependent color must actually
+    change with yaw (proving SH follows the orbit)."""
+    config = RenderConfig(sh_degree=3)
+    cam0 = Camera.create(h=96, w=96, position=(0.0, 0.0, 4.0))
+    cam = cam0.rotate(dyaw=np.deg2rad(40.0), dpitch=np.deg2rad(10.0))
+    ours = np.asarray(render_dense(small_random_scene, cam, config))
+    gold = render_oracle(small_random_scene, cam, config)
+    p = psnr(ours, gold)
+    assert p >= 45.0, f"PSNR {p:.2f} dB < 45 at nonzero yaw"
+    # SH degree >= 1 makes color view-dependent: rendering the same scene
+    # with sh_degree=0 from the same orbited pose must differ (i.e. the
+    # rest bands are being evaluated along the orbited ray directions).
+    flat = np.asarray(render_dense(small_random_scene, cam,
+                                   RenderConfig(sh_degree=0)))
+    assert not np.allclose(ours, flat, atol=1e-3)
+
+
 def test_surface_scene_parity():
     from splat_tpu.utils.fixtures import surface_scene
     scene = surface_scene(400, seed=3)
