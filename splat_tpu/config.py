@@ -43,9 +43,8 @@ class RenderConfig:
         number of pairs; XLA needs a static bound.  Overflow is detected and
         reported (never silently truncated).
       chunk: gaussians DMA'd/composited per inner-loop step in the kernel.
-      gamma/background: output post-processing — background color composited
-        under the accumulated transmittance (reference clears to black,
-        src/main.rs:73).
+      background: color composited under the accumulated transmittance
+        (reference clears to black, src/main.rs:73).
     """
 
     sh_degree: int = 3
@@ -65,6 +64,12 @@ class RenderConfig:
     # Radius of the splat bounding box in standard deviations.  The reference
     # uses 3-sigma quads (src/pipelines.rs:27).
     sigma_cutoff: float = 3.0
+    # Shrink each splat's bbox to the opacity-aware radius
+    # sqrt(2·ln(opacity/alpha_min))·sigma when that is tighter than
+    # sigma_cutoff.  Lossless: pixels outside it fail the kernel's alpha_min
+    # cutoff anyway (marginal bound, see ops/projection.py); cuts
+    # (gaussian, tile) pair counts for low-opacity splats.
+    tight_radius: bool = True
 
     def __post_init__(self):
         if not (0 <= self.sh_degree <= 3):

@@ -39,8 +39,10 @@ class ProjectedGaussians:
       center_px: (N, 2) splat center in pixel coordinates (x, y).
       conic: (N, 3) upper-triangle (a, b, c) of the inverse 2D covariance in
         pixel units (reference src/pipelines.rs:22-23).
-      radius_px: (N, 2) axis-aligned half-extents of the sigma_cutoff bbox in
-        pixels: cutoff * sqrt(diag(cov2d)) (reference src/pipelines.rs:27).
+      radius_px: (N, 2) axis-aligned half-extents of the splat bbox in
+        pixels: min(sigma_cutoff, opacity-aware cutoff) * sqrt(diag(cov2d))
+        (reference src/pipelines.rs:27 uses a fixed 3σ quad; shrinking to
+        the opacity-aware radius is lossless — see project_gaussians).
       color: (N, 3) SH-evaluated RGB (with +0.5, unclamped).
       opacity: (N,) activated opacities.
       visible: (N,) bool — in front of the near plane, finite conic, and bbox
@@ -136,8 +138,23 @@ def project_gaussians(scene, camera: Camera,
     inv_det = 1.0 / det_safe
     conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
 
-    radius = config.sigma_cutoff * jnp.sqrt(
-        jnp.maximum(jnp.stack([a, c], axis=-1), 0.0))          # (N,2) px
+    # Splat half-extents.  The reference paints a fixed sigma_cutoff (3σ)
+    # quad (src/pipelines.rs:27) and lets the fragment α-test kill pixels
+    # below alpha_min (src/pipelines.rs:140-143).  The final image only
+    # contains pixels with α >= alpha_min, so the bbox may shrink to the
+    # opacity-aware radius LOSSLESSLY: by the marginal bound
+    # min_dy Q(dx, dy) = dx²/Σxx, any pixel with
+    # |dx| > sqrt(Σxx · 2·ln(opacity/alpha_min)) has α < alpha_min and is
+    # dropped by the kernel's own cutoff anyway.  This cuts (gaussian, tile)
+    # pair counts at N-cost — the key scale-by-N lever for binning.
+    opacity = jnp.asarray(scene.opacities)
+    diag = jnp.maximum(jnp.stack([a, c], axis=-1), 0.0)        # (N,2)
+    cut2 = jnp.asarray(config.sigma_cutoff, jnp.float32) ** 2
+    if config.tight_radius:
+        qmax = 2.0 * jnp.log(
+            jnp.maximum(opacity / config.alpha_min, 1e-12))
+        cut2 = jnp.minimum(cut2, jnp.maximum(qmax, 0.0))[:, None]
+    radius = jnp.sqrt(cut2 * diag)                             # (N,2) px
 
     # Clip-space center -> NDC -> pixel (reference src/pipelines.rs:37-48,
     # pixel mapping notes/util.py:109-111).  Elementwise: the glm projection
@@ -152,7 +169,13 @@ def project_gaussians(scene, camera: Camera,
 
     depth = -pos_cam[:, 2]                                     # view depth >0 in front
 
-    # View-dependent color from the *orbited* eye (src/pipelines.rs:98-100).
+    # View-dependent color: SH is evaluated from the ORBITED eye — a
+    # deliberate deviation from the reference, which computes ray directions
+    # from the un-orbited base position (src/pipelines.rs:99 uses
+    # camera.position, and camera.rs:41-68 never writes the rotated position
+    # back), so its colors don't follow the orbit.  Using the true eye is
+    # the physically-correct behavior; the oracle shares this convention and
+    # tests/test_render_parity.py pins it at nonzero yaw.  See PARITY.md.
     eye = camera.eye()
     raydir = scene.means - eye
     raydir = raydir / jnp.maximum(
@@ -169,7 +192,10 @@ def project_gaussians(scene, camera: Camera,
                & (det > 0)
                & (hi[:, 0] > 0) & (lo[:, 0] < camera.w)
                & (hi[:, 1] > 0) & (lo[:, 1] < camera.h)
-               & jnp.isfinite(center_px).all(axis=-1))
+               & jnp.isfinite(center_px).all(axis=-1)
+               # peak α = min(clamp, opacity·e⁰) — below alpha_min the splat
+               # can never pass the kernel's cutoff at any pixel (lossless)
+               & (opacity >= config.alpha_min))
 
     return ProjectedGaussians(depth=depth, center_px=center_px, conic=conic,
                               radius_px=radius, color=color,

@@ -9,11 +9,12 @@ per-tile ranges), reformulated for XLA's static shapes:
    sigma_cutoff bbox; per-gaussian pair counts -> exclusive prefix sum;
 3. expand to a capacity-bounded slot array WITHOUT scatter-per-pair: a
    single scatter-add of N ones at each gaussian's first slot followed by a
-   cumulative sum yields the slot->gaussian map in O(K + N);
-4. a *stable* single-key sort by tile id groups pairs per tile while
-   preserving the depth order established in step 1 (cheaper than the
-   two-key (tile, depth) lexicographic sort);
-5. per-tile [start, end) ranges via searchsorted over the sorted tile ids.
+   cumulative sum yields the slot->depth-rank map in O(K + N);
+4. ONE unstable sort on packed (tile id ‖ depth rank) uint keys groups
+   pairs per tile with exact front-to-back order inside each tile (ranks
+   are unique and depth-ascending), replacing a stable key+payload sort —
+   and the sorted key's low bits are directly the feature-gather indices;
+5. per-tile [start, end) ranges via searchsorted over the sorted keys.
 
 Capacity: K_cap = max_dup_factor * N slots.  If a frame produces more pairs,
 the overflow count is returned (pairs dropped are the *deepest* ones —
@@ -42,7 +43,8 @@ class TileBins:
 
     features: (16, K_cap + chunk) f32 feature-major, columns ordered by
       (tile, depth): rows are
-      [cx, cy, conic_a, conic_b, conic_c, r, g, b, opacity, rx, ry, 0*5]
+      [cx, cy, conic_a, conic_b, conic_c, r, g, b, opacity, rx, ry,
+       depth, 0*4]
     tile_start/tile_end: (T,) int32 pair ranges per tile.
     num_pairs: () int32 total valid pairs (pre-capacity).
     overflow: () int32 pairs dropped due to capacity.
@@ -103,14 +105,33 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     packed_first = (1 + bits_x + bits_y + bits_w + bits_r) <= 32
     shift_f = bits_x + bits_y + bits_w
     mask_r = (1 << bits_r) - 1
-    # Pack the per-gaussian geometry into one word in ORIGINAL order, then a
-    # single 2-row take moves (geometry, counts) into depth order — each
-    # TPU gather index costs ~6-7 ns regardless of row count, so one 2-row
-    # gather beats four 1-row gathers ~2x.
+    # Pack the per-gaussian geometry into one word in ORIGINAL order, then
+    # ONE consolidated take moves geometry, counts AND all kernel feature
+    # rows into depth order together — each TPU gather index costs ~6-7 ns
+    # REGARDLESS of row count (width amortizes), so widening the single
+    # gather is free while a second N-gather would double the cost.  The
+    # int32 rows ride along bitcast to f32 (gathers move bits verbatim).
     geom_o = (tx0_o | (ty0_o << bits_x)
               | ((tx1_o - tx0_o + 1) << (bits_x + bits_y)))
-    gc = jnp.take(jnp.stack([geom_o, counts_o]), order, axis=1)   # (2, N)
-    geom, counts = gc[0], gc[1]
+    feats_o = jnp.stack([
+        cx, cy,
+        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+        jnp.clip(proj.color[:, 0], 0.0, 1.0),
+        jnp.clip(proj.color[:, 1], 0.0, 1.0),
+        jnp.clip(proj.color[:, 2], 0.0, 1.0),
+        jnp.asarray(proj.opacity), rx, ry,
+        # row 11: view depth — unused by the kernel, carried so tests can
+        # assert per-tile front-to-back monotonicity (the sort's
+        # correctness contract) directly on the binned output.
+        proj.depth,
+    ])                                                         # (12, N)
+    int_rows = jax.lax.bitcast_convert_type(
+        jnp.stack([geom_o, counts_o]), jnp.float32)            # (2, N)
+    all_d = jnp.take(jnp.concatenate([int_rows, feats_o]), order, axis=1)
+    geom, counts = jax.lax.bitcast_convert_type(all_d[:2], jnp.int32)
+    # Depth-ordered feature table: the post-sort K-gather indexes this by
+    # depth rank (which the packed sort key carries for free).
+    feats_d = jnp.pad(all_d[2:], ((0, FEATURE_DIM - 12), (0, 0)))
 
     cum = jnp.cumsum(counts)
     total = cum[-1]
@@ -130,15 +151,18 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     # sequences at once:
     #   row 0: packed word: geometry (tx0, ty0, span_w) and, when the bit
     #          budget allows, the low bits of first_slot (for r_of_slot)
-    #   row 1: original gaussian index (becomes the sort payload ->
-    #          feature-gather source; no order[sorted_g] gather needed)
+    #   plus a scatter of ONES whose cumsum is the depth RANK of each
+    #   slot's gaussian (ranks increase by exactly 1 per visible gaussian,
+    #   so the "wrapped differences" of the rank sequence are all ones —
+    #   no gather needed; zero-count gaussians stack and telescope).  The
+    #   rank doubles as the feature-gather source into feats_d AND the
+    #   low bits of the packed sort key.
     slot_ids = jnp.arange(k_cap, dtype=jnp.int32)
     if packed_first:
         word = geom | ((first_slot & mask_r) << shift_f)
-        rows = jnp.stack([word, order.astype(jnp.int32)])          # (2, N)
+        rows = jnp.stack([word])                                   # (1, N)
     else:
-        rows = jnp.stack([geom, first_slot,
-                          order.astype(jnp.int32)])                # (3, N)
+        rows = jnp.stack([geom, first_slot])                       # (2, N)
     deltas = jnp.concatenate(
         [rows[:, :1], rows[:, 1:] - rows[:, :-1]], axis=1)         # wraps ok
     idx = jnp.minimum(first_slot, k_cap)
@@ -152,16 +176,21 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
             deltas[r], mode="drop")[:k_cap])
         for r in range(rows.shape[0])
     ]
+    ones = jnp.ones((n,), jnp.int32)
+    rank_e = jnp.cumsum(
+        jnp.zeros((k_cap + 1,), jnp.int32).at[idx].add(
+            ones, mode="drop")[:k_cap]) - 1
+    rank_e = jnp.clip(rank_e, 0, n - 1)
     if packed_first:
-        word_e, orig_e = expanded
+        (word_e,) = expanded
         geom_e = word_e  # low bits hold geometry; masks below select fields
         first_low = (word_e >> shift_f) & mask_r
         r_of_slot = (slot_ids - first_low) & mask_r
     else:
-        geom_e, first_e, orig_e = expanded
+        geom_e, first_e = expanded
         r_of_slot = slot_ids - first_e
     if debug_stage == "slots":
-        return jnp.sum(orig_e)
+        return jnp.sum(rank_e)
 
     tx0_e = geom_e & ((1 << bits_x) - 1)
     ty0_e = (geom_e >> bits_x) & ((1 << bits_y) - 1)
@@ -187,14 +216,15 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
         # underestimates Q, so we only drop when certainly dead).
         # Per-gaussian quantities are computed once at N; the per-slot
         # lookup is ONE feature-major (4, K) gather.
-        ca_n, cb_n, cc_n = (proj.conic[:, i] for i in range(3))
+        ca_n, cb_n, cc_n = feats_d[2], feats_d[3], feats_d[4]
         half = 0.5 * (ca_n + cc_n)
         lam_min_n = half - jnp.sqrt(
             jnp.maximum(half * half - (ca_n * cc_n - cb_n * cb_n), 0.0))
         thresh_n = 2.0 * jnp.log(
-            jnp.maximum(jnp.asarray(proj.opacity), 1e-12) / config.alpha_min)
-        cull_rows = jnp.stack([cx, cy, lam_min_n, thresh_n])   # (4, N)
-        vals = jnp.take(cull_rows, orig_e, axis=1)             # (4, K)
+            jnp.maximum(feats_d[8], 1e-12) / config.alpha_min)
+        cull_rows = jnp.stack([feats_d[0], feats_d[1],
+                               lam_min_n, thresh_n])           # (4, N)
+        vals = jnp.take(cull_rows, rank_e, axis=1)             # (4, K)
         cxd, cyd, lam_min, thresh = vals[0], vals[1], vals[2], vals[3]
         x0 = tile_col.astype(jnp.float32) * tp
         y0 = tile_row.astype(jnp.float32) * tp
@@ -209,36 +239,42 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     if debug_stage == "tiles":
         return jnp.sum(tile_id)
 
-    # -- 4. stable sort by tile (preserves depth order within a tile);
-    #       the payload is directly the feature-gather source index -------
-    sorted_tile, sorted_src = jax.lax.sort((tile_id, orig_e), num_keys=1,
-                                           is_stable=True)
+    # -- 4. sort by tile, preserving depth order within a tile ------------
+    # When (tile ‖ rank) fits in 31 bits, ONE unstable single-array sort on
+    # the packed key replaces the stable key+payload sort: ranks are unique
+    # and ascending in depth, so ordering by the packed key groups by tile
+    # with exact front-to-back order inside each tile — and the sorted
+    # key's low bits ARE the feature-gather indices into feats_d.
+    bits_rank = max(int(n - 1).bit_length(), 1)
+    bits_tile = max(int(num_tiles).bit_length(), 1)  # sentinel must fit
+    if bits_tile + bits_rank <= 31:
+        key = (tile_id << bits_rank) | rank_e
+        sorted_key = jax.lax.sort(key)
+        sorted_rank = sorted_key & ((1 << bits_rank) - 1)
+        edge_queries = (jnp.arange(num_tiles + 1, dtype=jnp.int32)
+                        << bits_rank)
+        edge_space = sorted_key
+    else:
+        sorted_tile, sorted_rank = jax.lax.sort((tile_id, rank_e),
+                                                num_keys=1, is_stable=True)
+        edge_queries = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+        edge_space = sorted_tile
     if debug_stage == "sort":
-        return jnp.sum(sorted_tile) + jnp.sum(sorted_src)
+        return jnp.sum(edge_space) + jnp.sum(sorted_rank)
 
     # -- 5. per-tile ranges -------------------------------------------------
-    edges = jnp.searchsorted(sorted_tile,
-                             jnp.arange(num_tiles + 1, dtype=jnp.int32),
+    edges = jnp.searchsorted(edge_space, edge_queries,
                              side="left").astype(jnp.int32)
     tile_start, tile_end = edges[:-1], edges[1:]
     if debug_stage == "edges":
         return jnp.sum(edges)
 
     # -- 6. feature gather: the one unavoidable K-gather, feature-major ----
-    # (16, N) in ORIGINAL order; each sorted pair pulls its gaussian's
-    # 64-byte feature column in a single index operation.
-    feats_t = jnp.stack([
-        cx, cy,
-        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
-        jnp.clip(proj.color[:, 0], 0.0, 1.0),
-        jnp.clip(proj.color[:, 1], 0.0, 1.0),
-        jnp.clip(proj.color[:, 2], 0.0, 1.0),
-        proj.opacity, rx, ry,
-    ])                                                        # (11, N)
-    feats_t = jnp.pad(feats_t, ((0, FEATURE_DIM - 11), (0, 0)))
+    # Each sorted pair pulls its gaussian's 64-byte feature column from the
+    # DEPTH-ORDERED table in a single index operation.
     # chunk padding so the kernel's fixed-size DMA never reads out of bounds
-    src = jnp.pad(sorted_src, (0, config.chunk), constant_values=0)
-    features = jnp.take(feats_t, src, axis=1)                 # (16, Kp)
+    src = jnp.pad(sorted_rank, (0, config.chunk), constant_values=0)
+    features = jnp.take(feats_d, src, axis=1)                 # (16, Kp)
 
     return TileBins(features=features, tile_start=tile_start,
                     tile_end=tile_end,

@@ -62,19 +62,27 @@ class TestBinning:
             assert match.any(), f"gaussian {i} missing from center tile {t}"
 
     def test_within_tile_depth_order(self, small_random_scene):
-        """Pairs inside each tile must be front-to-back (stable sort)."""
+        """Pairs inside each tile must be front-to-back: feature row 11
+        carries each pair's view depth, which must be non-decreasing within
+        every tile's [start, end) range.  This is the correctness heart of
+        the binning design (depth sort first, then a *stable* tile sort);
+        dropping is_stable=True must fail this test."""
         cam = Camera.create(h=64, w=64, position=(0.0, 0.0, 4.0))
         config = _cfg()
         proj = project_gaussians(small_random_scene, cam, config)
         bins = build_tile_bins(proj, 64, 64, config)
-        # recover each pair's depth by matching feature rows back is fiddly;
-        # instead rebuild with depth stored in a spare feature column
-        # by construction: sorted_g is depth-ordered, and a stable tile sort
-        # keeps ascending g within a tile. Check monotonicity via opacity
-        # trick: verify start/end and use num_pairs only as smoke here.
+        feats = np.asarray(bins.features)
         start = np.asarray(bins.tile_start)
         end = np.asarray(bins.tile_end)
-        assert (end - start).max() <= int(bins.num_pairs)
+        checked_pairs = 0
+        for t in range(bins.tiles_x * bins.tiles_y):
+            depths = feats[11, start[t]:end[t]]
+            assert np.all(np.diff(depths) >= 0), (
+                f"tile {t} not front-to-back: {depths}")
+            checked_pairs += depths.size
+        # the scene must actually exercise multi-pair tiles
+        assert checked_pairs == int(bins.num_pairs)
+        assert (end - start).max() >= 8
 
     def test_overflow_reported(self):
         scene = random_scene(128, seed=4, extent=0.5,
