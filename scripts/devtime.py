@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--tile", type=int, default=32)
     ap.add_argument("--chunk", type=int, default=128)
-    ap.add_argument("--dup", type=int, default=4)
+    ap.add_argument("--dup", type=float, default=4)
     ap.add_argument("--scale", type=str, default="0.004,0.03")
     ap.add_argument("--extent", type=float, default=3.0)
     ap.add_argument("--empty", action="store_true",
@@ -40,6 +40,12 @@ def main():
                     default="full")
     ap.add_argument("--nocull", action="store_true", default=None)
     ap.add_argument("--cull", dest="nocull", action="store_false")
+    ap.add_argument("--psnr", action="store_true",
+                    help="skip timing; render a deterministic fixture scene "
+                         "through the COMPILED Mosaic kernel on the current "
+                         "backend and report PSNR vs the NumPy oracle "
+                         "(BASELINE.md ladder item 2: 800x600 full-frame "
+                         "parity)")
     args = ap.parse_args()
 
     import jax
@@ -50,6 +56,25 @@ def main():
     from splat_tpu.render.tiled import render_tiled
     from splat_tpu.ops.projection import project_gaussians
     from splat_tpu.render.binning import build_tile_bins
+
+    if args.psnr:
+        from splat_tpu.render.oracle import render_oracle
+        from splat_tpu.render.tiled import render_tiled_checked
+        from splat_tpu.utils.image import psnr
+        scene = st.surface_scene(5000, seed=11)
+        cam = st.Camera.create(h=600, w=800, position=(0.0, -1.0, 3.5))
+        config = RenderConfig(tile_px=args.tile, chunk=args.chunk,
+                              max_dup_factor=args.dup)
+        img = np.asarray(render_tiled_checked(scene.to_device(), cam,
+                                              config))
+        gold = render_oracle(scene, cam, config)
+        p = psnr(img, gold)
+        print(f"on-device parity: backend={jax.default_backend()} "
+              f"surface_scene(5000) 800x600 PSNR={p:.2f} dB "
+              f"(threshold 45)")
+        if p < 45.0:
+            raise SystemExit(1)
+        return
 
     lo, hi = (float(x) for x in args.scale.split(","))
     scene = st.random_scene(args.n, seed=0, extent=args.extent,

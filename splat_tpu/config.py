@@ -52,7 +52,12 @@ class RenderConfig:
     alpha_clamp: float = 0.99
     alpha_min: float = 1.0 / 255.0
     tile_px: int = 32
-    max_dup_factor: int = 4
+    # Duplication capacity as a multiple of N.  Every K-sized binning op
+    # (expansion, sort, feature gather) scales with it, so it tracks real
+    # pair counts: trained-scene-like distributions at tile_px=32 run
+    # ~2.0 pairs/gaussian; 2.5 leaves headroom and is ~25% faster than 4.
+    # Overflow is detected and surfaced on every public path.
+    max_dup_factor: float = 2.5
     chunk: int = 128
     # Drop (gaussian, tile) pairs whose best-case alpha anywhere in the tile
     # is below alpha_min (lossless: the kernel's per-pixel cutoff would zero
@@ -60,6 +65,11 @@ class RenderConfig:
     # (the extra K-sized passes cost more than the kernel work saved);
     # revisit for big-splat scenes once binning is optimized.
     cull_pairs: bool = False
+    # Pair-expansion implementation: "auto" uses the Pallas one-hot/MXU
+    # kernel (render/expand.py) when its bit-budget preconditions hold and
+    # falls back to the XLA diff-scatter-cumsum otherwise; "xla" forces
+    # the fallback (profiling / very large tile grids).
+    expand_impl: str = "auto"
     background: tuple[float, float, float] = (0.0, 0.0, 0.0)
     # Radius of the splat bounding box in standard deviations.  The reference
     # uses 3-sigma quads (src/pipelines.rs:27).
@@ -76,6 +86,9 @@ class RenderConfig:
             raise ValueError(f"sh_degree must be in [0,3], got {self.sh_degree}")
         if self.tile_px % 8 != 0:
             raise ValueError(f"tile_px must be a multiple of 8, got {self.tile_px}")
+        if self.expand_impl not in ("auto", "xla"):
+            raise ValueError(f"expand_impl must be 'auto' or 'xla', "
+                             f"got {self.expand_impl!r}")
 
     @property
     def block_shape(self) -> tuple[int, int]:

@@ -212,12 +212,33 @@ def _render_slab_tiled(proj, row0, h_local: int, w: int,
 
 
 def render_sharded_tiled(scene, camera: Camera, mesh: Mesh,
-                         config: RenderConfig | None = None) -> jax.Array:
+                         config: RenderConfig | None = None,
+                         route: str = "a2a",
+                         slab_cap_factor: float | None = None):
     """Single-frame tile-binned render, gaussians sharded over mesh axis 'g'.
 
-    Same project-local / all-gather-compact / composite-slab decomposition as
+    Same project-local / composite-slab decomposition as
     :func:`render_sharded`, but each chip rasterizes its row slab with the
-    production tiled Pallas kernel instead of the dense compositor.
+    production tiled Pallas kernel, and the projected records are routed by
+    **tile ownership** instead of replicated:
+
+    route="a2a" (default): each chip compacts, per destination chip d, the
+      records whose bbox intersects slab d, then ONE ``all_to_all`` over
+      ICI delivers to every chip exactly the records that touch its slab.
+      Per-chip traffic is ``n_g * cap * 13`` floats where
+      ``cap = slab_cap_factor * N_local`` — with the default factor
+      ``min(1, 4/n_g)`` that is ~4/n_g of the all-gather payload, so the
+      collective cost stays flat as the mesh grows instead of linear.
+      Records beyond ``cap`` for one (src, dst) pair are dropped
+      deepest-last and COUNTED (returned as ``overflow`` with
+      return_stats=True) — same no-silent-truncation contract as binning.
+    route="gather": replicate all records (``all_gather``) — simpler,
+      cheaper below ~2 chips or for slab-spanning splat distributions;
+      never overflows.
+
+    The all-gather crossover: traffic ratio a2a/gather = cap * n_g / N,
+    so a2a wins whenever a typical splat's bbox overlaps fewer than
+    ``cap * n_g / N_local`` slabs (≈4 with the default factor).
     """
     config = config or RenderConfig()
     h, w = camera.h, camera.w
@@ -226,20 +247,104 @@ def render_sharded_tiled(scene, camera: Camera, mesh: Mesh,
         raise ValueError(f"image height {h} not divisible by g={n_g}")
     h_local = h // n_g
     interpret = jax.default_backend() == "cpu"
+    if route not in ("a2a", "gather"):
+        raise ValueError(f"route must be 'a2a' or 'gather', got {route!r}")
 
     def fn(scene_local, cam):
         proj_local = project_gaussians(scene_local, cam, config)
-        proj = jax.tree.map(
-            lambda a: jax.lax.all_gather(a, "g", axis=0, tiled=True),
-            proj_local)
         g_idx = jax.lax.axis_index("g")
+        if route == "gather":
+            proj = jax.tree.map(
+                lambda a: jax.lax.all_gather(a, "g", axis=0, tiled=True),
+                proj_local)
+            overflow = jnp.int32(0)
+        else:
+            proj, overflow = _route_records_by_slab(
+                proj_local, n_g, h_local, slab_cap_factor)
         slab = _render_slab_tiled(proj, g_idx * h_local, h_local, w,
                                   config, interpret)
-        return jax.lax.all_gather(slab, "g", axis=0, tiled=True)
+        img = jax.lax.all_gather(slab, "g", axis=0, tiled=True)
+        return img, jax.lax.psum(overflow, "g")
 
     fn_mapped = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(jax.tree.map(lambda _: P("g"), scene), P()),
-        out_specs=P(),
+        out_specs=(P(), P()),
         check_vma=False)
-    return fn_mapped(scene, camera)
+    img, overflow = fn_mapped(scene, camera)
+    return img, overflow
+
+
+def _route_records_by_slab(proj: ProjectedGaussians, n_g: int,
+                           h_local: int, cap_factor: float | None):
+    """Compact projected records per destination slab and all_to_all them.
+
+    Inside shard_map: ``proj`` holds this chip's N_local records.  Returns
+    (ProjectedGaussians of n_g*cap received records, local overflow count).
+    """
+    n_local = proj.depth.shape[0]
+    if cap_factor is None:
+        cap_factor = min(1.0, 4.0 / n_g)
+    cap = max(128, -(-int(n_local * cap_factor) // 128) * 128)
+    cap = min(cap, n_local)
+
+    # 13 f32 rows per record (the kernel-facing compact payload).
+    rows = jnp.stack([
+        proj.center_px[:, 0], proj.center_px[:, 1],
+        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+        proj.radius_px[:, 0], proj.radius_px[:, 1],
+        proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+        jnp.asarray(proj.opacity), proj.depth,
+        proj.visible.astype(jnp.float32),
+    ])                                                   # (13, N_local)
+
+    lo_y = proj.center_px[:, 1] - proj.radius_px[:, 1]
+    hi_y = proj.center_px[:, 1] + proj.radius_px[:, 1]
+    slab_ids = jnp.arange(n_g, dtype=jnp.float32)[:, None]
+    y0 = slab_ids * h_local
+    touches = (proj.visible[None, :]
+               & (hi_y[None, :] > y0)
+               & (lo_y[None, :] < y0 + h_local))         # (n_g, N_local)
+
+    # Per-destination compaction: position of record i in dest d's buffer
+    # is its prefix count; records past cap are dropped (front-most kept —
+    # record order is scene order here, depth sorting happens in binning,
+    # so "deepest dropped" is enforced by sorting proj by depth first).
+    order = jnp.argsort(jnp.where(proj.visible, proj.depth, jnp.inf))
+    rows_sorted = jnp.take(rows, order, axis=1)
+    touches = jnp.take(touches, order, axis=1)
+    pos = jnp.cumsum(touches.astype(jnp.int32), axis=1) - 1   # (n_g, N)
+    sent = jnp.take_along_axis(
+        pos, jnp.full((n_g, 1), n_local - 1), axis=1)[:, 0] + 1
+    overflow = jnp.sum(jnp.maximum(sent - cap, 0))
+    dest_slot = jnp.where(touches & (pos < cap), pos, cap)    # cap = drop
+    # One batched row-scatter per destination (n_g is small and static;
+    # all 13 rows share each destination's index vector, so this is n_g
+    # scatters of N_local indices — no (n_g * N) gather materializes).
+    blocks = []
+    for d in range(n_g):
+        b = jnp.zeros((13, cap + 1), jnp.float32)
+        b = b.at[:, dest_slot[d]].set(rows_sorted, mode="drop")
+        blocks.append(b[:, :cap])
+    buf = jnp.concatenate(blocks, axis=1)                     # (13, n_g*cap)
+    valid_local = (jnp.arange(cap)[None, :]
+                   < jnp.minimum(sent, cap)[:, None])         # (n_g, cap)
+
+    # Route: chip s's buffer block d -> chip d's block s (ICI all_to_all).
+    buf = jax.lax.all_to_all(buf, "g", split_axis=1, concat_axis=1,
+                             tiled=True)                      # (13, n_g*cap)
+    valid = jax.lax.all_to_all(
+        valid_local.reshape(-1).astype(jnp.float32), "g",
+        split_axis=0, concat_axis=0, tiled=True) > 0.5
+
+    buf = buf.reshape(13, n_g * cap)
+    received = ProjectedGaussians(
+        depth=buf[11],
+        center_px=jnp.stack([buf[0], buf[1]], axis=-1),
+        conic=jnp.stack([buf[2], buf[3], buf[4]], axis=-1),
+        radius_px=jnp.stack([buf[5], buf[6]], axis=-1),
+        color=jnp.stack([buf[7], buf[8], buf[9]], axis=-1),
+        opacity=buf[10],
+        visible=(buf[12] > 0.5) & valid,
+    )
+    return received, overflow

@@ -63,7 +63,8 @@ FEATURE_DIM = 16
 
 
 def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
-                    config: RenderConfig, debug_stage: str | None = None):
+                    config: RenderConfig, debug_stage: str | None = None,
+                    interpret: bool | None = None):
     """debug_stage (profiling only): return a scalar checksum right after
     the named sub-stage ('order', 'counts', 'slots', 'tiles', 'sort',
     'edges') so each stage's device cost can be measured cumulatively."""
@@ -72,7 +73,14 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     nty = -(-h // tp)
     num_tiles = ntx * nty
     n = proj.depth.shape[0]
-    k_cap = config.max_dup_factor * n
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    # capacity in slots, rounded up to the expansion-kernel grain
+    # (max_dup_factor may be fractional — every K-sized op below scales
+    # linearly with k_cap, so tracking the scene's true pair count pays)
+    from splat_tpu.render import expand as _expand
+    grain = _expand.BLOCK * _expand.BLOCKS_PER_PROG
+    k_cap = -(-int(config.max_dup_factor * n) // grain) * grain
 
     # -- 1. front-to-back global order ------------------------------------
     depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
@@ -140,14 +148,61 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     if debug_stage == "counts":
         return total + jnp.sum(first_slot)
 
-    # -- 3. per-slot expansion via batched diff-scatter-cumsum -------------
+    # -- 3. per-slot expansion -> packed (tile ‖ rank) sort keys -----------
+    bits_rank = max(int(n - 1).bit_length(), 1)
+    bits_tile = max(int(num_tiles).bit_length(), 1)  # sentinel must fit
+    packed_key = bits_tile + bits_rank <= 31
+    use_pallas_expand = (
+        config.expand_impl != "xla"
+        and packed_key and k_cap < _expand.MAX_KCAP
+        and max(ntx, nty) <= _expand.MAX_TILE_COORD)
+    num_pairs = jnp.minimum(total, jnp.int32(k_cap))
+    key = None
+
+    if use_pallas_expand:
+        # Pallas expansion (render/expand.py): per-block one-hot owner
+        # recovery + one exact bf16 MXU contraction — no K-scale scatter,
+        # cumsum, or decode; the kernel emits final sort keys directly,
+        # with the optional lossless dead-pair cull folded in.
+        cull_cols = None
+        if config.cull_pairs:
+            ca_n, cb_n, cc_n = feats_d[2], feats_d[3], feats_d[4]
+            half = 0.5 * (ca_n + cc_n)
+            lam_min_n = half - jnp.sqrt(jnp.maximum(
+                half * half - (ca_n * cc_n - cb_n * cb_n), 0.0))
+            thresh_n = 2.0 * jnp.log(
+                jnp.maximum(feats_d[8], 1e-12) / config.alpha_min)
+            r_cull = jnp.sqrt(jnp.maximum(thresh_n, 0.0)
+                              / jnp.maximum(lam_min_n, 1e-12))
+            cull_cols = (feats_d[0], feats_d[1], r_cull)
+        key = _expand.expand_pair_keys(
+            first_slot,
+            geom & ((1 << bits_x) - 1),
+            (geom >> bits_x) & ((1 << bits_y) - 1),
+            (geom >> (bits_x + bits_y)) & ((1 << bits_w) - 1),
+            total, n=n, k_cap=k_cap, ntx=ntx, num_tiles=num_tiles,
+            bits_rank=bits_rank, tile_px=tp, cull=cull_cols,
+            interpret=interpret)
+        if config.cull_pairs:
+            # pairs the kernel will actually walk (post-cull)
+            num_pairs = jnp.sum(
+                ((key >> bits_rank) != num_tiles).astype(jnp.int32))
+        if debug_stage in ("slots", "tiles"):
+            return jnp.sum(key)
+        return _sort_and_gather(key, None, sorted_rank_bits=bits_rank,
+                                feats_d=feats_d, num_tiles=num_tiles,
+                                num_pairs=num_pairs, overflow=overflow,
+                                ntx=ntx, nty=nty, config=config,
+                                debug_stage=debug_stage)
+
+    # XLA fallback expansion via batched diff-scatter-cumsum:
     # TPU gathers cost ~6-7 ns per INDEX (scalar-core bound): a K-sized
     # gather is ~40 ms at K=6M, and the naive formulation needs five of
     # them.  Instead, any int32 per-gaussian sequence v expands to slots
     # exactly by scattering wrapped differences at each gaussian's first
     # slot and taking a wrapping cumulative sum (telescoping; zero-count
     # gaussians stack their deltas on the next start, which telescopes
-    # through).  One batched scatter + one batched cumsum expand all three
+    # through).  One batched scatter + one batched cumsum expand all
     # sequences at once:
     #   row 0: packed word: geometry (tx0, ty0, span_w) and, when the bit
     #          budget allows, the low bits of first_slot (for r_of_slot)
@@ -238,25 +293,42 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     tile_id = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
     if debug_stage == "tiles":
         return jnp.sum(tile_id)
-
-    # -- 4. sort by tile, preserving depth order within a tile ------------
-    # When (tile ‖ rank) fits in 31 bits, ONE unstable single-array sort on
-    # the packed key replaces the stable key+payload sort: ranks are unique
-    # and ascending in depth, so ordering by the packed key groups by tile
-    # with exact front-to-back order inside each tile — and the sorted
-    # key's low bits ARE the feature-gather indices into feats_d.
-    bits_rank = max(int(n - 1).bit_length(), 1)
-    bits_tile = max(int(num_tiles).bit_length(), 1)  # sentinel must fit
-    if bits_tile + bits_rank <= 31:
+    # pairs the kernel will actually walk (post-cull)
+    num_pairs = jnp.sum(valid.astype(jnp.int32))
+    pair = None
+    if packed_key:
         key = (tile_id << bits_rank) | rank_e
+    else:
+        pair = (tile_id, rank_e)
+    return _sort_and_gather(key, pair, sorted_rank_bits=bits_rank,
+                            feats_d=feats_d, num_tiles=num_tiles,
+                            num_pairs=num_pairs, overflow=overflow,
+                            ntx=ntx, nty=nty, config=config,
+                            debug_stage=debug_stage)
+
+
+def _sort_and_gather(key, pair, *, sorted_rank_bits: int, feats_d,
+                     num_tiles: int, num_pairs, overflow, ntx: int,
+                     nty: int, config: RenderConfig,
+                     debug_stage: str | None):
+    """Steps 4-6: tile sort, per-tile ranges, feature gather.
+
+    When (tile ‖ rank) fits in 31 bits (``key`` given), ONE unstable
+    single-array sort on the packed key replaces the stable key+payload
+    sort: ranks are unique and ascending in depth, so ordering by the
+    packed key groups by tile with exact front-to-back order inside each
+    tile — and the sorted key's low bits ARE the feature-gather indices
+    into the depth-ordered feature table.
+    """
+    if key is not None:
         sorted_key = jax.lax.sort(key)
-        sorted_rank = sorted_key & ((1 << bits_rank) - 1)
+        sorted_rank = sorted_key & ((1 << sorted_rank_bits) - 1)
         edge_queries = (jnp.arange(num_tiles + 1, dtype=jnp.int32)
-                        << bits_rank)
+                        << sorted_rank_bits)
         edge_space = sorted_key
     else:
-        sorted_tile, sorted_rank = jax.lax.sort((tile_id, rank_e),
-                                                num_keys=1, is_stable=True)
+        sorted_tile, sorted_rank = jax.lax.sort(pair, num_keys=1,
+                                                is_stable=True)
         edge_queries = jnp.arange(num_tiles + 1, dtype=jnp.int32)
         edge_space = sorted_tile
     if debug_stage == "sort":
@@ -277,7 +349,5 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     features = jnp.take(feats_d, src, axis=1)                 # (16, Kp)
 
     return TileBins(features=features, tile_start=tile_start,
-                    tile_end=tile_end,
-                    # pairs the kernel will actually walk (post-cull)
-                    num_pairs=jnp.sum(valid.astype(jnp.int32)),
+                    tile_end=tile_end, num_pairs=num_pairs,
                     overflow=overflow, tiles_x=ntx, tiles_y=nty)

@@ -108,28 +108,35 @@ def _raster_kernel(
         row = lambda i: f[i:i + 1, :]             # (1, chunk)
         cx, cy = row(0), row(1)
         ca, cb, cc = row(2), row(3), row(4)
-        op = row(8)
         rx, ry = row(9), row(10)
+        k_global = base + j * chunk + lane        # (1, chunk)
+        # Fold the pair-range validity into the opacity ROW (1, chunk)
+        # before broadcasting: lanes outside [s, e) get op=0, so they fail
+        # the alpha cutoff with no (P, chunk)-wide range compares.
+        op = jnp.where((k_global >= s) & (k_global < e), row(8), 0.0)
 
         dx = pxf - cx                             # (P, chunk)
         dy = cy - pyf                             # local +y up on screen
         power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
         alpha = jnp.minimum(alpha_clamp, op * jnp.exp(power))
-        k_global = base + j * chunk + lane        # (1, chunk)
         # No power<=0 test here: visibility gating requires det(cov2d)>0
         # (projection.py), so the conic is PSD and power<=0 always holds;
         # the reference's check (src/pipelines.rs:135) is defensive only.
         keep = ((alpha >= alpha_min)
-                & (jnp.abs(dx) <= rx) & (jnp.abs(dy) <= ry)
-                & (k_global >= s) & (k_global < e))
+                & (jnp.abs(dx) <= rx) & (jnp.abs(dy) <= ry))
         alpha = jnp.where(keep, alpha, 0.0)
 
         t_before, t_chunk = _cumprod_excl_lanes(1.0 - alpha)
         weight = alpha * t_before * transmit      # (P, chunk)
-        r_c = jnp.sum(weight * row(5), axis=1, keepdims=True)
-        g_c = jnp.sum(weight * row(6), axis=1, keepdims=True)
-        b_c = jnp.sum(weight * row(7), axis=1, keepdims=True)
-        img = img + jnp.concatenate([r_c, g_c, b_c], axis=1)  # (P, 3)
+        # Channel accumulation on the MXU: contract (P, chunk) with the
+        # (3, chunk) color rows on their lane dims (no transpose) — frees
+        # ~6 VPU passes per window and overlaps with the VPU's next ops.
+        # HIGHEST keeps f32 accuracy (TPU matmul default is bf16-grade,
+        # which would burn the 45 dB parity budget).
+        img = img + jax.lax.dot_general(
+            weight, f[5:8, :], (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)   # (P, 3)
         transmit = transmit * t_chunk
         saturated = jnp.max(transmit) < alpha_min
 

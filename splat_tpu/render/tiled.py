@@ -31,7 +31,7 @@ def render_tiled(scene, camera: Camera, config: RenderConfig | None = None,
         interpret = jax.default_backend() == "cpu"
     h, w = camera.h, camera.w
     proj = project_gaussians(scene, camera, config)
-    bins = build_tile_bins(proj, h, w, config)
+    bins = build_tile_bins(proj, h, w, config, interpret=interpret)
     img = rasterize_tiles(bins, h, w, config, interpret=interpret)
     if return_stats:
         occupancy = bins.tile_end - bins.tile_start

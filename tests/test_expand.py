@@ -1,0 +1,93 @@
+"""Pallas pair-expansion kernel vs the XLA diff-scatter-cumsum fallback.
+
+The two implementations must be BIT-EXACT: both produce the same packed
+(tile ‖ rank) keys, so the sorted pair order, per-tile ranges, and
+gathered features are equal arrays, not just close ones.
+"""
+
+import dataclasses
+
+import numpy as np
+
+from splat_tpu.camera import Camera
+from splat_tpu.config import RenderConfig
+from splat_tpu.ops.projection import project_gaussians
+from splat_tpu.render.binning import build_tile_bins
+from splat_tpu.utils.fixtures import random_scene
+
+
+def _assert_bins_equal(a, b):
+    for name in ("tile_start", "tile_end", "num_pairs", "overflow"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+            err_msg=name)
+    np.testing.assert_array_equal(np.asarray(a.features),
+                                  np.asarray(b.features))
+
+
+def _compare(scene, cam, **cfg_kw):
+    cfg_a = RenderConfig(chunk=64, **cfg_kw)
+    cfg_x = dataclasses.replace(cfg_a, expand_impl="xla")
+    proj = project_gaussians(scene, cam, cfg_a)
+    ba = build_tile_bins(proj, cam.h, cam.w, cfg_a, interpret=True)
+    bx = build_tile_bins(proj, cam.h, cam.w, cfg_x, interpret=True)
+    _assert_bins_equal(ba, bx)
+    return ba
+
+
+def test_expand_matches_xla(small_random_scene):
+    cam = Camera.create(h=96, w=128, position=(0.0, 0.0, 4.0))
+    bins = _compare(small_random_scene, cam)
+    assert int(bins.num_pairs) > 0
+    assert int(bins.overflow) == 0
+
+
+def test_expand_matches_xla_on_overflow():
+    """Capacity overflow: both paths must truncate identically (deepest
+    pairs dropped) and report the same overflow count."""
+    scene = random_scene(4096, seed=4, extent=0.5, scale_range=(0.3, 0.8))
+    cam = Camera.create(h=128, w=128, position=(0.0, 0.0, 2.0))
+    bins = _compare(scene, cam, max_dup_factor=1.0)
+    assert int(bins.overflow) > 0
+
+
+def test_expand_matches_xla_multi_tile_spans():
+    """Large splats spanning many tiles exercise the span decode."""
+    scene = random_scene(256, seed=9, extent=1.0, scale_range=(0.1, 0.4))
+    cam = Camera.create(h=160, w=224, position=(0.0, 0.0, 3.0))
+    _compare(scene, cam)
+
+
+def test_in_kernel_cull_is_lossless():
+    """cull_pairs drops only pairs whose every pixel fails the alpha
+    cutoff, so the rendered image must be EXACTLY the no-cull image —
+    while actually culling something on a big-splat scene."""
+    from splat_tpu.render.tiled import render_tiled
+    # Corner-tile culling needs multi-tile splats with real margin beyond
+    # the kill radius (8-px quantization eats ~2 units): radii ~50+ px.
+    scene = random_scene(256, seed=5, extent=0.8, scale_range=(0.4, 1.0))
+    cam = Camera.create(h=256, w=256, position=(0.0, 0.0, 2.5))
+    cfg = RenderConfig(chunk=64)
+    cfg_cull = dataclasses.replace(cfg, cull_pairs=True)
+    img0, s0 = render_tiled(scene, cam, cfg, interpret=True,
+                            return_stats=True)
+    img1, s1 = render_tiled(scene, cam, cfg_cull, interpret=True,
+                            return_stats=True)
+    assert int(s1["num_pairs"]) < int(s0["num_pairs"]), \
+        "cull removed nothing on a big-splat scene"
+    # Culled pairs contribute exactly zero alpha, but removing them shifts
+    # the kernel's chunk boundaries, and the saturation early-exit is
+    # chunk-granular — so images agree to the saturation tolerance
+    # (contributions below transmittance 1/255), not bit-exactly.
+    from splat_tpu.utils.image import psnr
+    p = psnr(np.asarray(img0), np.asarray(img1))
+    assert p >= 60.0, f"cull changed the image beyond tolerance: {p:.1f} dB"
+
+
+def test_expand_empty_scene():
+    """Camera looking away: zero visible pairs, all-sentinel keys."""
+    scene = random_scene(128, seed=1)
+    cam = Camera.create(h=64, w=64, position=(0.0, 0.0, 50.0),
+                        target=(0.0, 0.0, 100.0))
+    bins = _compare(scene, cam)
+    assert int(bins.num_pairs) == 0

@@ -50,12 +50,31 @@ def test_mesh_validation():
 
 
 def test_render_sharded_tiled_matches_dense():
+    """a2a tile-ownership routing AND all-gather replication must both
+    match the single-device dense render."""
     from splat_tpu.parallel.sharding import render_sharded_tiled
     scene = random_scene(256, seed=21, extent=2.0, scale_range=(0.02, 0.1))
     cam = Camera.create(h=64, w=64, position=(0.0, 0.0, 4.0))
     config = RenderConfig(chunk=128)
     mesh = make_mesh(n_data=1, n_gaussian=8)
-    got = np.asarray(render_sharded_tiled(scene, cam, mesh, config))
     want = np.asarray(render_dense(scene, cam, config))
-    p = psnr(got, want)
-    assert p >= 45.0, f"sharded-tiled vs dense PSNR {p:.2f} dB"
+    for route in ("a2a", "gather"):
+        got, overflow = render_sharded_tiled(scene, cam, mesh, config,
+                                             route=route)
+        assert int(overflow) == 0, route
+        p = psnr(np.asarray(got), want)
+        assert p >= 45.0, f"sharded-tiled[{route}] vs dense PSNR {p:.2f} dB"
+
+
+def test_render_sharded_tiled_a2a_overflow_reported():
+    """A slab cap too small for the traffic must be COUNTED, not silent."""
+    from splat_tpu.parallel.sharding import render_sharded_tiled
+    # cap floors at max(128, factor*N_local) and clamps to N_local, so
+    # overflow needs N_local >> 128 with splats spanning many slabs.
+    scene = random_scene(8192, seed=23, extent=1.0, scale_range=(0.1, 0.3))
+    cam = Camera.create(h=64, w=64, position=(0.0, 0.0, 3.0))
+    mesh = make_mesh(n_data=1, n_gaussian=8)
+    _, overflow = render_sharded_tiled(scene, cam, mesh,
+                                       RenderConfig(chunk=128),
+                                       slab_cap_factor=0.03)
+    assert int(overflow) > 0

@@ -85,8 +85,11 @@ class TestBinning:
         assert (end - start).max() >= 8
 
     def test_overflow_reported(self):
-        scene = random_scene(128, seed=4, extent=0.5,
-                             scale_range=(0.5, 1.0))  # huge splats
+        # k_cap is grain-rounded to >= 4096 slots, so overflow needs a
+        # scene whose pair count clears that floor: 4096 huge splats at
+        # dup 1 produce ~60k pairs against a 4096-slot capacity.
+        scene = random_scene(4096, seed=4, extent=0.5,
+                             scale_range=(0.3, 0.8))  # huge splats
         cam = Camera.create(h=128, w=128, position=(0.0, 0.0, 2.0))
         config = _cfg(max_dup_factor=1)
         proj = project_gaussians(scene, cam, config)
