@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--dup", type=float, default=4)
     ap.add_argument("--scale", type=str, default="0.004,0.03")
     ap.add_argument("--extent", type=float, default=3.0)
+    ap.add_argument("--scene", choices=["random", "surface"],
+                    default="random")
     ap.add_argument("--empty", action="store_true",
                     help="camera looks away: measures fixed overhead")
     ap.add_argument("--stage",
@@ -77,8 +79,11 @@ def main():
         return
 
     lo, hi = (float(x) for x in args.scale.split(","))
-    scene = st.random_scene(args.n, seed=0, extent=args.extent,
-                            scale_range=(lo, hi)).to_device()
+    if args.scene == "surface":
+        scene = st.surface_scene(args.n, seed=0).to_device()
+    else:
+        scene = st.random_scene(args.n, seed=0, extent=args.extent,
+                                scale_range=(lo, hi)).to_device()
     pos = (0.0, 0.0, 400.0) if args.empty else (0.0, 0.0, 4.0)
     tgt = (0.0, 0.0, 500.0) if args.empty else (0.0, 0.0, 0.0)
     cam = st.Camera.create(h=args.h, w=args.w, position=pos, target=tgt)
