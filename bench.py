@@ -35,7 +35,12 @@ def main() -> None:
     w = int(os.environ.get("SPLAT_BENCH_W", 1920))
     frames = int(os.environ.get("SPLAT_BENCH_FRAMES", 20))
 
-    config = RenderConfig()
+    # Tuned capacity: every K-sized binning op scales with k_cap, and the
+    # audit below PROVES no frame overflowed — so the headline runs at the
+    # tight setting (trained-like scenes at tile 32 produce ~2.0 pairs per
+    # gaussian; 2.2 leaves ~10% headroom over the measured sweep).
+    config = RenderConfig(
+        max_dup_factor=float(os.environ.get("SPLAT_BENCH_DUP", 2.2)))
     kind = os.environ.get("SPLAT_BENCH_SCENE", "random")
     if kind == "surface":
         scene = st.surface_scene(n, seed=0).to_device()

@@ -275,6 +275,56 @@ def render_sharded_tiled(scene, camera: Camera, mesh: Mesh,
     return img, overflow
 
 
+def render_batch_sharded_tiled(scene, cameras: Camera, mesh: Mesh,
+                               config: RenderConfig | None = None,
+                               route: str = "a2a",
+                               slab_cap_factor: float | None = None):
+    """Trajectory batch on the PRODUCTION tiled path: frames over mesh
+    axis 'd', gaussians over 'g', per-frame a2a tile-ownership routing.
+
+    ``cameras`` is a batched Camera (leading frame axis); the frame count
+    must be divisible by the 'd' axis size and the height by 'g'.  Frames
+    within a shard run as a ``lax.scan`` (the Pallas kernels are compiled
+    once and iterated).  Returns ((F, H, W, 3) images, total overflow).
+    """
+    config = config or RenderConfig()
+    h, w = cameras.h, cameras.w
+    n_g = mesh.shape["g"]
+    if h % n_g:
+        raise ValueError(f"image height {h} not divisible by g={n_g}")
+    h_local = h // n_g
+    interpret = jax.default_backend() == "cpu"
+
+    def fn(scene_local, cams_local):
+        g_idx = jax.lax.axis_index("g")
+
+        def one(carry, cam):
+            proj_local = project_gaussians(scene_local, cam, config)
+            if route == "gather":
+                proj = jax.tree.map(
+                    lambda a: jax.lax.all_gather(a, "g", axis=0,
+                                                 tiled=True), proj_local)
+                overflow = jnp.int32(0)
+            else:
+                proj, overflow = _route_records_by_slab(
+                    proj_local, n_g, h_local, slab_cap_factor)
+            slab = _render_slab_tiled(proj, g_idx * h_local, h_local, w,
+                                      config, interpret)
+            img = jax.lax.all_gather(slab, "g", axis=0, tiled=True)
+            return carry + overflow, img
+
+        ov, imgs = jax.lax.scan(one, jnp.int32(0), cams_local)
+        return imgs, jax.lax.psum(jax.lax.psum(ov, "g"), "d")
+
+    cam_specs = jax.tree.map(lambda _: P("d"), cameras)
+    fn_mapped = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P("g"), scene), cam_specs),
+        out_specs=(P("d"), P()),
+        check_vma=False)
+    return fn_mapped(scene, cameras)
+
+
 def _route_records_by_slab(proj: ProjectedGaussians, n_g: int,
                            h_local: int, cap_factor: float | None):
     """Compact projected records per destination slab and all_to_all them.

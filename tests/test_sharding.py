@@ -66,6 +66,24 @@ def test_render_sharded_tiled_matches_dense():
         assert p >= 45.0, f"sharded-tiled[{route}] vs dense PSNR {p:.2f} dB"
 
 
+def test_render_batch_sharded_tiled():
+    """dp x tp trajectory on the production tiled path (scan of the
+    Pallas pipeline under shard_map) matches per-frame dense renders."""
+    from splat_tpu.parallel.sharding import render_batch_sharded_tiled
+    scene = random_scene(128, seed=31, extent=2.0, scale_range=(0.03, 0.1))
+    cam = Camera.create(h=32, w=32, position=(0.0, 0.0, 4.0))
+    cams = orbit_trajectory(cam, num_frames=4)
+    mesh = make_mesh(n_data=2, n_gaussian=4)
+    config = RenderConfig(chunk=128)
+    imgs, overflow = render_batch_sharded_tiled(scene, cams, mesh, config)
+    imgs = np.asarray(imgs)
+    assert imgs.shape == (4, 32, 32, 3)
+    assert int(overflow) == 0
+    want = np.asarray(render_dense(scene, cam, config))
+    assert psnr(imgs[0], want) >= 45.0
+    assert not np.allclose(imgs[0], imgs[1])
+
+
 def test_render_sharded_tiled_a2a_overflow_reported():
     """A slab cap too small for the traffic must be COUNTED, not silent."""
     from splat_tpu.parallel.sharding import render_sharded_tiled
