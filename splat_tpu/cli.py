@@ -32,9 +32,10 @@ def _add_render_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--sh-degree", type=int, default=3)
     p.add_argument("--lowpass", type=float, default=0.3)
     p.add_argument("--tile", type=int, default=32)
-    p.add_argument("--dup-factor", type=int, default=4,
-                   help="duplication-buffer capacity as a multiple of N "
-                        "(raise on overflow warnings)")
+    p.add_argument("--dup-factor", type=float, default=4.0,
+                   help="duplication-buffer capacity as a multiple of N; "
+                        "fractional values are fine (~2.2 is the tuned "
+                        "throughput setting; raise on overflow warnings)")
     p.add_argument("--background", default="0,0,0")
     p.add_argument("--method", choices=["auto", "dense", "tiled"],
                    default="auto")
@@ -80,7 +81,7 @@ def _config(args):
     from splat_tpu.config import RenderConfig
     return RenderConfig(sh_degree=args.sh_degree, lowpass=args.lowpass,
                         tile_px=args.tile,
-                        max_dup_factor=getattr(args, "dup_factor", 4),
+                        max_dup_factor=getattr(args, "dup_factor", 4.0),
                         background=_parse_vec(args.background, 3))
 
 
@@ -136,7 +137,7 @@ def cmd_orbit(args) -> int:
     else:
         f = render_fn(method, config)
         f_stats = None
-    overflow_max = 0
+    overflows = []
     gif_frames = [] if args.gif else None
     cams = orbit_trajectory(cam, args.frames,
                             yaw_sweep=float(np.deg2rad(args.yaw_sweep)),
@@ -147,7 +148,9 @@ def cmd_orbit(args) -> int:
                          is_leaf=lambda a: hasattr(a, "shape"))
         if f_stats is not None:
             img, stats = f_stats(scene, c)
-            overflow_max = max(overflow_max, int(stats["overflow"]))
+            # keep the scalar on device; one fetch after the loop (each
+            # host round-trip costs ~100 ms on remote-attached TPUs)
+            overflows.append(stats["overflow"])
         else:
             img = f(scene, c)
         img = np.asarray(img)
@@ -161,10 +164,13 @@ def cmd_orbit(args) -> int:
         dt = (time.time() - t0) / steady
         print(f"{steady} frames: {dt * 1e3:.1f} ms/frame "
               f"({1.0 / dt:.1f} FPS incl. host I/O)")
-    if overflow_max > 0:
-        print(f"WARNING: duplication-buffer overflow ({overflow_max} pairs "
-              f"dropped in the worst frame) — frames are truncated; raise "
-              f"--dup-factor / RenderConfig.max_dup_factor", file=sys.stderr)
+    if overflows:
+        import jax.numpy as jnp
+        overflow_max = int(jnp.max(jnp.stack(overflows)))
+        if overflow_max > 0:
+            print(f"WARNING: duplication-buffer overflow ({overflow_max} "
+                  f"pairs dropped in the worst frame) — frames are "
+                  f"truncated; raise --dup-factor", file=sys.stderr)
     if gif_frames is not None:
         from splat_tpu.utils.gif import write_gif
         write_gif(args.gif, gif_frames, fps=args.gif_fps)

@@ -53,11 +53,13 @@ class RenderConfig:
     alpha_min: float = 1.0 / 255.0
     tile_px: int = 32
     # Duplication capacity as a multiple of N.  Every K-sized binning op
-    # (expansion, sort, feature gather) scales with it, so it tracks real
-    # pair counts: trained-scene-like distributions at tile_px=32 run
-    # ~2.0 pairs/gaussian; 2.5 leaves headroom and is ~25% faster than 4.
-    # Overflow is detected and surfaced on every public path.
-    max_dup_factor: float = 2.5
+    # (expansion, sort, feature gather) scales with it, so TUNE IT DOWN
+    # for throughput: trained-scene-like distributions at tile_px=32 run
+    # ~2.0 pairs/gaussian, and 2.2 is ~25% faster than the default (the
+    # bench runs there, guarded by its overflow audit).  The default stays
+    # conservative because the raw render_fn path has no overflow check;
+    # render()/CLI/bench all detect and surface overflow.
+    max_dup_factor: float = 4.0
     chunk: int = 128
     # Drop (gaussian, tile) pairs whose best-case alpha anywhere in the tile
     # is below alpha_min (lossless: the kernel's per-pixel cutoff would zero

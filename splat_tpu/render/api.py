@@ -34,9 +34,7 @@ def render_fn(method: str = "auto", config: RenderConfig | None = None):
     config = config or RenderConfig()
 
     def f(scene, camera: Camera):
-        m = method
-        if m == "auto":
-            m = "dense" if scene.num_gaussians <= 4096 else "tiled"
+        m = resolve_method(method, scene)
         if m == "dense":
             from splat_tpu.render.dense import render_dense
             return render_dense(scene, camera, config)
@@ -61,9 +59,7 @@ def render(scene, camera: Camera, config: RenderConfig | None = None,
     pass ``check_overflow=False``.
     """
     config = config or RenderConfig()
-    m = method
-    if m == "auto":
-        m = "dense" if scene.num_gaussians <= 4096 else "tiled"
+    m = resolve_method(method, scene)
     if m == "tiled" and check_overflow:
         from splat_tpu.render.tiled import render_tiled_checked
         img = render_tiled_checked(scene, camera, config)

@@ -146,8 +146,9 @@ def _expand_kernel(seg_ref, total_ref, table_hbm, out_ref, win, sem,
                 x08 - cx8 - 1.0, cx8 - x08 - float(tp8)), 0.0)
             ddy8 = jnp.maximum(jnp.maximum(
                 y08 - cy8 - 1.0, cy8 - y08 - float(tp8)), 0.0)
-            dead = (ddx8 * ddx8 + ddy8 * ddy8
-                    > (r8 - 1.0) * (r8 - 1.0))
+            dead = ((ddx8 * ddx8 + ddy8 * ddy8
+                     > (r8 - 1.0) * (r8 - 1.0))
+                    & (r8 < 254.5))   # r8 == 255: never-cull sentinel
             key = jnp.where(dead, sentinel, key)
 
         out_ref[pl.ds(t, 1), :] = key
@@ -189,11 +190,27 @@ def expand_pair_keys(first_slot, tx0, ty0, span_w, total, *, n: int,
         return jnp.pad(v.astype(jnp.float32), (0, n_pad - n))
     if cull is not None:
         cx, cy, r_cull = cull
-        cx8 = jnp.clip(jnp.floor(cx * 0.125), 0.0, 255.0)
-        cy8 = jnp.clip(jnp.floor(cy * 0.125), 0.0, 255.0)
-        # +1 unit absorbs the ceil and the center-floor error; clipping to
-        # 255 (>= 2040 px) disables culling for that splat — conservative.
-        r8 = jnp.clip(jnp.ceil(r_cull * 0.125) + 1.0, 1.0, 255.0)
+        # NaN/inf sanitation is load-bearing: one non-finite value row
+        # poisons EVERY slot of any block whose owner window contains that
+        # column (0 * NaN = NaN survives the one-hot matmul) — so a single
+        # degenerate splat (z ~ 0 fly-through) would corrupt up to 512
+        # unrelated pairs' keys.  Non-finite -> r8 = 255 = never-cull.
+        bad = ~(jnp.isfinite(cx) & jnp.isfinite(cy) & jnp.isfinite(r_cull))
+        # Centers representable only in [0, 2040] px; beyond that the
+        # quantized distance is not conservative (the clamp can move the
+        # center PAST a tile), so disable culling for those splats too.
+        bad = bad | (cx < 0.0) | (cx > 2040.0) | (cy < 0.0) | (cy > 2040.0)
+        cxs = jnp.nan_to_num(cx, nan=0.0, posinf=0.0, neginf=0.0)
+        cys = jnp.nan_to_num(cy, nan=0.0, posinf=0.0, neginf=0.0)
+        cx8 = jnp.clip(jnp.floor(cxs * 0.125), 0.0, 255.0)
+        cy8 = jnp.clip(jnp.floor(cys * 0.125), 0.0, 255.0)
+        # +1 unit absorbs the ceil and the center-floor error; r8 = 255 is
+        # the NEVER-CULL sentinel (the kernel requires r8 <= 254 to kill),
+        # covering kill radii >= 2032 px and all 'bad' splats.
+        r8 = jnp.clip(jnp.ceil(
+            jnp.nan_to_num(r_cull, nan=1e9, posinf=1e9) * 0.125) + 1.0,
+            1.0, 255.0)
+        r8 = jnp.where(bad, 255.0, r8)
         sw_comb = span_w.astype(jnp.float32) + 256.0 * r8
         table = jnp.stack(bytes3(fs_full)
                           + [pad0(tx0), pad0(ty0), pad0(sw_comb),
