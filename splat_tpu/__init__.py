@@ -25,7 +25,7 @@ from splat_tpu.config import RenderConfig
 from splat_tpu.scene import GaussianScene
 from splat_tpu.camera import Camera
 from splat_tpu.io.ply import load_ply, save_ply
-from splat_tpu.render.api import render, render_fn
+from splat_tpu.render.api import pair_stats, render, render_fn
 from splat_tpu.utils.fixtures import (naive_gaussians, random_scene,
                                       surface_scene)
 
@@ -37,6 +37,7 @@ __all__ = [
     "Camera",
     "load_ply",
     "save_ply",
+    "pair_stats",
     "render",
     "render_fn",
     "naive_gaussians",

@@ -267,8 +267,10 @@ def cmd_bench(args) -> int:
         lambda s, c: render_tiled(s, c, config, return_stats=True))(scene,
                                                                     cam)
     overflow = int(stats["overflow"])
+    per = int(stats["num_pairs"]) / max(scene.num_gaussians, 1)
     print(f"pairs={int(stats['num_pairs'])} visible={int(stats['visible'])} "
-          f"overflow={overflow}")
+          f"overflow={overflow} pairs/gaussian={per:.2f} "
+          f"(suggested --dup-factor {max(1.25, round(per * 1.25, 2))})")
     if overflow > 0:
         print("WARNING: overflow > 0 — the timing above measures a "
               "truncated render; raise --dup-factor", file=sys.stderr)

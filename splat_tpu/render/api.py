@@ -46,6 +46,49 @@ def render_fn(method: str = "auto", config: RenderConfig | None = None):
     return jax.jit(f)
 
 
+def pair_stats(scene, camera: Camera, config: RenderConfig | None = None):
+    """Measure the scene's true (gaussian, tile) pair load at a pose.
+
+    Returns a dict with ``visible``, ``num_pairs``, ``pairs_per_gaussian``
+    and ``suggested_dup_factor`` (true load + 25% headroom, floored at
+    1.25) — feed the suggestion into ``RenderConfig.max_dup_factor`` to
+    shrink every K-sized binning op; the overflow stats on the public
+    paths will catch a pose that outgrows it.
+    """
+    import jax.numpy as jnp
+
+    from splat_tpu.ops.projection import project_gaussians
+
+    config = config or RenderConfig()
+
+    @jax.jit
+    def f(scene, camera):
+        proj = project_gaussians(scene, camera, config)
+        tp = config.tile_px
+        ntx = -(-camera.w // tp)
+        nty = -(-camera.h // tp)
+        cx, cy = proj.center_px[:, 0], proj.center_px[:, 1]
+        rx, ry = proj.radius_px[:, 0], proj.radius_px[:, 1]
+        tx0 = jnp.clip(jnp.floor((cx - rx) / tp), 0, ntx - 1)
+        tx1 = jnp.clip(jnp.floor((cx + rx) / tp), 0, ntx - 1)
+        ty0 = jnp.clip(jnp.floor((cy - ry) / tp), 0, nty - 1)
+        ty1 = jnp.clip(jnp.floor((cy + ry) / tp), 0, nty - 1)
+        counts = jnp.where(proj.visible,
+                           (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
+        return (jnp.sum(proj.visible.astype(jnp.int32)),
+                jnp.sum(counts).astype(jnp.int32))
+
+    visible, pairs = (int(x) for x in jax.device_get(f(scene, camera)))
+    n = scene.num_gaussians
+    per = pairs / max(n, 1)
+    return {
+        "visible": visible,
+        "num_pairs": pairs,
+        "pairs_per_gaussian": per,
+        "suggested_dup_factor": max(1.25, round(per * 1.25, 2)),
+    }
+
+
 def render(scene, camera: Camera, config: RenderConfig | None = None,
            method: str = "auto", as_uint8: bool = False,
            check_overflow: bool = True):

@@ -33,3 +33,17 @@ def test_frame_report():
     assert rep["num_pairs"] >= rep["visible"]
     assert 0 < rep["nonzero_pixel_frac"] <= 1
     assert rep["overflow"] == 0
+
+
+def test_pair_stats_suggestion():
+    import splat_tpu as st
+
+    scene = st.random_scene(512, seed=7, extent=2.0,
+                            scale_range=(0.02, 0.12))
+    cam = st.Camera.create(h=96, w=128, position=(0.0, 0.0, 4.0))
+    stats = st.pair_stats(scene, cam)
+    assert 0 < stats["visible"] <= 512
+    assert stats["num_pairs"] >= stats["visible"]
+    assert stats["suggested_dup_factor"] >= 1.25
+    # the suggestion must actually fit the measured load
+    assert (stats["suggested_dup_factor"] * 512 >= stats["num_pairs"])
