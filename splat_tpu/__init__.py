@@ -18,7 +18,7 @@ Public API::
 
     scene  = st.load_ply("point_cloud.ply")         # or st.io.load_scene
     camera = st.Camera.create(h=1080, w=1920, position=(0., 0., 5.))
-    img    = st.render(scene, camera)               # uint8 (H, W, 3)
+    img    = st.render(scene, camera)               # float32 (H, W, 3)
 """
 
 from splat_tpu.config import RenderConfig

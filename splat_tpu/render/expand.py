@@ -44,12 +44,15 @@ from jax.experimental.pallas import tpu as pltpu
 # Output slots per inner block; owner window per block.  WP = B + 256
 # covers the 128-alignment slack (<=127) plus the <= B+1 owners a B-slot
 # block can have (first_slot is strictly increasing over visible
-# gaussians; invisible ones sort to the tail).  BLOCK=512 makes each
-# inner block exactly one (1, 512) output row — a dynamic-sublane store
-# with static lane layout, which Mosaic handles natively.
-BLOCK = 512
-WINDOW = 768
-BLOCKS_PER_PROG = 8
+# gaussians; invisible ones sort to the tail).  Each inner block writes
+# one (1, BLOCK) output row — a dynamic-sublane store with static lane
+# layout, which Mosaic handles natively.  Per-slot compare AND matmul
+# cost scale with WINDOW = BLOCK + 256, so SMALLER blocks are cheaper
+# per slot; BLOCK=256 balances that against grid/DMA overhead
+# (BLOCKS_PER_PROG keeps programs coarse: 4096 slots each).
+BLOCK = 256
+WINDOW = 512
+BLOCKS_PER_PROG = 16
 
 # The byte-split value rows force these bounds; binning falls back to the
 # XLA expansion path outside them.
