@@ -32,10 +32,12 @@ def _add_render_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--sh-degree", type=int, default=3)
     p.add_argument("--lowpass", type=float, default=0.3)
     p.add_argument("--tile", type=int, default=32)
-    p.add_argument("--dup-factor", type=float, default=4.0,
+    p.add_argument("--dup-factor", default="4",
                    help="duplication-buffer capacity as a multiple of N; "
                         "fractional values are fine (~2.2 is the tuned "
-                        "throughput setting; raise on overflow warnings)")
+                        "throughput setting; raise on overflow warnings), "
+                        "or 'auto' to measure the scene's pair load at "
+                        "the given pose and add 25%% headroom")
     p.add_argument("--background", default="0,0,0")
     p.add_argument("--method", choices=["auto", "dense", "tiled"],
                    default="auto")
@@ -77,11 +79,24 @@ def _camera(args):
         fovy=float(np.deg2rad(args.fovy_deg)))
 
 
-def _config(args):
+def _config(args, scene=None, cam=None):
     from splat_tpu.config import RenderConfig
+
+    dup = getattr(args, "dup_factor", "4")
+    if dup == "auto":
+        if scene is None or cam is None:
+            raise SystemExit("--dup-factor auto needs a scene and pose")
+        from splat_tpu.render.api import pair_stats
+        base = RenderConfig(sh_degree=args.sh_degree, lowpass=args.lowpass,
+                            tile_px=args.tile,
+                            background=_parse_vec(args.background, 3))
+        stats = pair_stats(scene, cam, base)
+        dup = stats["suggested_dup_factor"]
+        print(f"auto dup-factor: {stats['num_pairs']} pairs "
+              f"({stats['pairs_per_gaussian']:.2f}/gaussian) -> "
+              f"max_dup_factor={dup}")
     return RenderConfig(sh_degree=args.sh_degree, lowpass=args.lowpass,
-                        tile_px=args.tile,
-                        max_dup_factor=getattr(args, "dup_factor", 4.0),
+                        tile_px=args.tile, max_dup_factor=float(dup),
                         background=_parse_vec(args.background, 3))
 
 
@@ -102,7 +117,7 @@ def cmd_render(args) -> int:
         import contextlib
         ctx = contextlib.nullcontext()
     with ctx:
-        img = np.asarray(render(scene, cam, _config(args),
+        img = np.asarray(render(scene, cam, _config(args, scene, cam),
                                 method=args.method))
     # The reference prints per-frame timing (src/main.rs:77).
     print(f"Rendering took {(time.time() - t0) * 1e3:.1f} ms "
@@ -125,7 +140,7 @@ def cmd_orbit(args) -> int:
     scene = _load(args).to_device()
     cam = _camera(args)
     os.makedirs(args.out_dir, exist_ok=True)
-    config = _config(args)
+    config = _config(args, scene, cam)
     method = resolve_method(args.method, scene)
     if method == "tiled":
         # Track duplication-buffer overflow across the trajectory so a
@@ -242,7 +257,7 @@ def cmd_bench(args) -> int:
         print(f"synthetic scene: N={args.n}")
     scene = scene.to_device()
     cam = _camera(args)
-    config = _config(args)
+    config = _config(args, scene, cam)
     frames = args.frames
 
     def chained(scene, cam):
@@ -282,7 +297,7 @@ def cmd_serve(args) -> int:
 
     scene = _load(args)
     cam = _camera(args)
-    serve(scene, cam, _config(args), host=args.host, port=args.port,
+    serve(scene, cam, _config(args, scene, cam), host=args.host, port=args.port,
           method=args.method)
     return 0
 

@@ -84,6 +84,25 @@ def test_in_kernel_cull_is_lossless():
     assert p >= 60.0, f"cull changed the image beyond tolerance: {p:.1f} dB"
 
 
+def test_expand_auto_falls_back_on_huge_tile_grid():
+    """ntx > 255 exceeds the expand kernel's byte-split bounds, so 'auto'
+    must take the XLA expansion automatically and still render right."""
+    from splat_tpu.render import expand as _expand
+    from splat_tpu.render.dense import render_dense
+    from splat_tpu.render.tiled import render_tiled
+    from splat_tpu.utils.image import psnr
+
+    scene = random_scene(64, seed=2, extent=1.0, scale_range=(0.05, 0.2))
+    w = 16 * (_expand.MAX_TILE_COORD + 2)   # ntx = 257 at tile_px=16
+    cam = Camera.create(h=16, w=w, position=(0.0, 0.0, 4.0))
+    cfg = RenderConfig(chunk=64, tile_px=16)
+    img = np.asarray(render_tiled(scene, cam, cfg, interpret=True))
+    want = np.asarray(render_dense(scene, cam, cfg))
+    assert img.shape == want.shape == (16, w, 3)
+    p = psnr(img, want)
+    assert p >= 45.0, f"huge-grid fallback PSNR {p:.2f}"
+
+
 def test_expand_empty_scene():
     """Camera looking away: zero visible pairs, all-sentinel keys."""
     scene = random_scene(128, seed=1)
