@@ -38,7 +38,7 @@ def main():
     ap.add_argument("--stage",
                     choices=["full", "project", "bins", "bins_order",
                              "bins_counts", "bins_slots", "bins_tiles",
-                             "bins_sort", "bins_edges"],
+                             "bins_sort", "bins_edges", "bins_gather"],
                     default="full")
     ap.add_argument("--nocull", action="store_true", default=None)
     ap.add_argument("--cull", dest="nocull", action="store_false")

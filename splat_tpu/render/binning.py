@@ -7,14 +7,31 @@ per-tile ranges), reformulated for XLA's static shapes:
 1. depth-sort the N projected gaussians once (front-to-back);
 2. each visible gaussian covers a rectangle of tiles derived from its
    sigma_cutoff bbox; per-gaussian pair counts -> exclusive prefix sum;
-3. expand to a capacity-bounded slot array WITHOUT scatter-per-pair: a
-   single scatter-add of N ones at each gaussian's first slot followed by a
-   cumulative sum yields the slot->depth-rank map in O(K + N);
+3. expand to a capacity-bounded slot array: the Pallas expansion kernel
+   (render/expand.py) recovers each slot's owner by windowed comparison
+   against the sorted first_slot array and emits the packed
+   (tile id ‖ depth rank) sort key via a one-hot MXU contraction — no
+   scatter, gather, or cumsum at K scale (an XLA diff-scatter-cumsum
+   fallback covers huge tile grids / k_cap >= 2^24);
 4. ONE unstable sort on packed (tile id ‖ depth rank) uint keys groups
    pairs per tile with exact front-to-back order inside each tile (ranks
    are unique and depth-ascending), replacing a stable key+payload sort —
    and the sorted key's low bits are directly the feature-gather indices;
-5. per-tile [start, end) ranges via searchsorted over the sorted keys.
+5. per-tile [start, end) ranges via searchsorted over the sorted keys;
+6. ONE 8-row feature gather at K.  TPU gather cost jumps ~5x above 8
+   rows (measured on v5e), so the 11 per-pair quantities are packed into
+   exactly 8 int32 rows: 5 rows carry f32 bits verbatim, 3 rows carry
+   u16 pairs (colors/opacity at 1/65535, radii at 1/8 px); the raster
+   kernel decodes them with cheap (1, chunk) window-level ops.
+
+Everything that rides a gather is INT32-typed: f32-typed arrays holding
+int bit patterns are denormal floats, and XLA:TPU flushes denormals
+inside gather/concat fusions (measured: counts silently became zero).
+Int arrays see no float arithmetic, so bit patterns survive verbatim.
+
+(Measured and rejected in round 2: carrying the feature rows as lax.sort
+payload operands to skip the gather — payload movement through the sort
+network costs ~1.5 ms per row at K=2.2M, dwarfing the gather.)
 
 Capacity: K_cap = max_dup_factor * N slots.  If a frame produces more pairs,
 the overflow count is returned (pairs dropped are the *deepest* ones —
@@ -34,18 +51,26 @@ from splat_tpu.ops.projection import ProjectedGaussians
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["features", "tile_start", "tile_end", "num_pairs",
-                      "overflow"],
+         data_fields=["features", "tile_start", "tile_end", "ranks",
+                      "num_pairs", "overflow"],
          meta_fields=["tiles_x", "tiles_y"])
 @dataclasses.dataclass(frozen=True)
 class TileBins:
     """Sorted (gaussian, tile) pairs ready for the raster kernel.
 
-    features: (16, K_cap + chunk) f32 feature-major, columns ordered by
-      (tile, depth): rows are
-      [cx, cy, conic_a, conic_b, conic_c, r, g, b, opacity, rx, ry,
-       depth, 0*4]
+    features: (8, K_cap + chunk) int32 feature-major, columns ordered by
+      (tile, depth).  Rows 0-4 are f32 BITS of
+      [cx, cy, -a/2, -b, -c/2] with (a, b, c) the conic — prescaled so
+      the kernel evaluates power = r2*dx^2 + r4*dy^2 + r3*(dx*dy)
+      directly.  Rows 5-7 are u16 pairs (low ‖ high << 16):
+      row 5 (r, g) and row 6 (b, opacity) in 1/65535 units, row 7
+      (rx, ry) in 1/8-px units.  The raster kernel decodes these with
+      (1, chunk) window-level ops — far cheaper than gathering wider
+      rows (gather cost jumps ~5x above 8 rows).
     tile_start/tile_end: (T,) int32 pair ranges per tile.
+    ranks: (K_cap,) int32 — each sorted pair's depth rank.  Unused by the
+      kernel; exposes the front-to-back contract (ranks are strictly
+      increasing within every tile's range) for tests and diagnostics.
     num_pairs: () int32 total valid pairs (pre-capacity).
     overflow: () int32 pairs dropped due to capacity.
     """
@@ -53,13 +78,53 @@ class TileBins:
     features: jax.Array
     tile_start: jax.Array
     tile_end: jax.Array
+    ranks: jax.Array
     num_pairs: jax.Array
     overflow: jax.Array
     tiles_x: int
     tiles_y: int
 
 
-FEATURE_DIM = 16
+FEATURE_DIM = 8
+
+_U16 = 65535.0
+
+
+def _pack_u16(lo, hi, scale_lo: float, scale_hi: float):
+    """Two non-negative floats -> one int32 (lo | hi << 16), rounded."""
+    li = jnp.clip(jnp.round(lo * scale_lo), 0.0, _U16).astype(jnp.int32)
+    hi_ = jnp.clip(jnp.round(hi * scale_hi), 0.0, _U16).astype(jnp.int32)
+    return li | (hi_ << 16)
+
+
+def _f32_bits(v):
+    return jax.lax.bitcast_convert_type(v, jnp.int32)
+
+
+def _bits_f32(v):
+    return jax.lax.bitcast_convert_type(v, jnp.float32)
+
+
+def _decode_cull_inputs(feats_d, alpha_min: float):
+    """Per-gaussian cull quantities from the packed feature table.
+
+    Returns (cx, cy, r_cull, lam_min, thresh): r_cull is the radius
+    beyond which alpha < alpha_min everywhere (kernel-consistent: uses
+    the same u16-decoded opacity the kernel will use); lam_min/thresh
+    support the per-pair form of the same bound."""
+    cx = _bits_f32(feats_d[0])
+    cy = _bits_f32(feats_d[1])
+    ca = -2.0 * _bits_f32(feats_d[2])
+    cb = -_bits_f32(feats_d[3])
+    cc = -2.0 * _bits_f32(feats_d[4])
+    op = ((feats_d[6] >> 16) & 0xFFFF).astype(jnp.float32) / _U16
+    half = 0.5 * (ca + cc)
+    lam_min = half - jnp.sqrt(jnp.maximum(
+        half * half - (ca * cc - cb * cb), 0.0))
+    thresh = 2.0 * jnp.log(jnp.maximum(op, 1e-12) / alpha_min)
+    r_cull = jnp.sqrt(jnp.maximum(thresh, 0.0)
+                      / jnp.maximum(lam_min, 1e-12))
+    return cx, cy, r_cull, lam_min, thresh
 
 
 def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
@@ -67,7 +132,8 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
                     interpret: bool | None = None):
     """debug_stage (profiling only): return a scalar checksum right after
     the named sub-stage ('order', 'counts', 'slots', 'tiles', 'sort',
-    'edges') so each stage's device cost can be measured cumulatively."""
+    'edges', 'gather') so each stage's device cost can be measured
+    cumulatively."""
     tp = config.tile_px
     ntx = -(-w // tp)
     nty = -(-h // tp)
@@ -96,9 +162,6 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     tx1_o = jnp.clip(jnp.floor((cx + rx) / tp), 0, ntx - 1).astype(jnp.int32)
     ty0_o = jnp.clip(jnp.floor((cy - ry) / tp), 0, nty - 1).astype(jnp.int32)
     ty1_o = jnp.clip(jnp.floor((cy + ry) / tp), 0, nty - 1).astype(jnp.int32)
-    counts_o = jnp.where(proj.visible,
-                         (tx1_o - tx0_o + 1) * (ty1_o - ty0_o + 1),
-                         0).astype(jnp.int32)
     # Adaptive bit budget for the packed expansion word (see step 3):
     # tile coords need ceil(log2(ntx/nty)) bits, the span width one more
     # than x, and the within-span index r = slot - first_slot is bounded by
@@ -113,33 +176,41 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     packed_first = (1 + bits_x + bits_y + bits_w + bits_r) <= 32
     shift_f = bits_x + bits_y + bits_w
     mask_r = (1 << bits_r) - 1
-    # Pack the per-gaussian geometry into one word in ORIGINAL order, then
-    # ONE consolidated take moves geometry, counts AND all kernel feature
-    # rows into depth order together — each TPU gather index costs ~6-7 ns
-    # REGARDLESS of row count (width amortizes), so widening the single
-    # gather is free while a second N-gather would double the cost.  The
-    # int32 rows ride along bitcast to f32 (gathers move bits verbatim).
-    geom_o = (tx0_o | (ty0_o << bits_x)
-              | ((tx1_o - tx0_o + 1) << (bits_x + bits_y)))
-    feats_o = jnp.stack([
-        cx, cy,
-        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
-        jnp.clip(proj.color[:, 0], 0.0, 1.0),
-        jnp.clip(proj.color[:, 1], 0.0, 1.0),
-        jnp.clip(proj.color[:, 2], 0.0, 1.0),
-        jnp.asarray(proj.opacity), rx, ry,
-        # row 11: view depth — unused by the kernel, carried so tests can
-        # assert per-tile front-to-back monotonicity (the sort's
-        # correctness contract) directly on the binned output.
-        proj.depth,
-    ])                                                         # (12, N)
-    int_rows = jax.lax.bitcast_convert_type(
-        jnp.stack([geom_o, counts_o]), jnp.float32)            # (2, N)
-    all_d = jnp.take(jnp.concatenate([int_rows, feats_o]), order, axis=1)
-    geom, counts = jax.lax.bitcast_convert_type(all_d[:2], jnp.int32)
-    # Depth-ordered feature table: the post-sort K-gather indexes this by
-    # depth rank (which the packed sort key carries for free).
-    feats_d = jnp.pad(all_d[2:], ((0, FEATURE_DIM - 12), (0, 0)))
+    # Move geometry AND all kernel feature rows into depth order with ONE
+    # consolidated take — each TPU gather index has a fixed cost floor, so
+    # a second N-gather would double it.  All rows are int32 (f32 bits /
+    # u16 pairs / packed tile coords); see the module docstring for why
+    # bit patterns must never ride in f32-typed arrays.  Invisible
+    # gaussians' rows are zeroed: their projected state may be NaN/inf,
+    # and the expansion kernel's one-hot matmul would propagate one bad
+    # column into every slot of any block whose owner window sees it
+    # (0 * NaN = NaN).  sw = 0 also encodes count 0.
+    feat_rows = jnp.stack([
+        _f32_bits(jnp.where(proj.visible, cx, 0.0)),
+        _f32_bits(jnp.where(proj.visible, cy, 0.0)),
+        _f32_bits(jnp.where(proj.visible, -0.5 * proj.conic[:, 0], 0.0)),
+        _f32_bits(jnp.where(proj.visible, -proj.conic[:, 1], 0.0)),
+        _f32_bits(jnp.where(proj.visible, -0.5 * proj.conic[:, 2], 0.0)),
+        _pack_u16(jnp.clip(proj.color[:, 0], 0.0, 1.0),
+                  jnp.clip(proj.color[:, 1], 0.0, 1.0), _U16, _U16),
+        _pack_u16(jnp.clip(proj.color[:, 2], 0.0, 1.0),
+                  jnp.asarray(proj.opacity), _U16, _U16),
+        _pack_u16(rx, ry, 8.0, 8.0),               # 1/8 px, max 8191.9 px
+    ])                                                          # (8, N)
+    geom_rows = jnp.stack([
+        tx0_o | (ty0_o << 16),
+        (tx1_o - tx0_o + 1) | ((ty1_o - ty0_o + 1) << 16),
+    ])                                                          # (2, N)
+    all_o = jnp.where(proj.visible[None, :],
+                      jnp.concatenate([geom_rows, feat_rows]), 0)
+    all_d = jnp.take(all_o, order, axis=1)
+    tx0_d = all_d[0] & 0xFFFF
+    ty0_d = (all_d[0] >> 16) & 0xFFFF
+    sw_d = all_d[1] & 0xFFFF
+    counts = sw_d * ((all_d[1] >> 16) & 0xFFFF)
+    # Depth-ordered packed feature table: the post-sort K-gather indexes
+    # this by depth rank (which the packed sort key carries for free).
+    feats_d = all_d[2:]
 
     cum = jnp.cumsum(counts)
     total = cum[-1]
@@ -166,20 +237,11 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
         # with the optional lossless dead-pair cull folded in.
         cull_cols = None
         if config.cull_pairs:
-            ca_n, cb_n, cc_n = feats_d[2], feats_d[3], feats_d[4]
-            half = 0.5 * (ca_n + cc_n)
-            lam_min_n = half - jnp.sqrt(jnp.maximum(
-                half * half - (ca_n * cc_n - cb_n * cb_n), 0.0))
-            thresh_n = 2.0 * jnp.log(
-                jnp.maximum(feats_d[8], 1e-12) / config.alpha_min)
-            r_cull = jnp.sqrt(jnp.maximum(thresh_n, 0.0)
-                              / jnp.maximum(lam_min_n, 1e-12))
-            cull_cols = (feats_d[0], feats_d[1], r_cull)
+            ccx, ccy, r_cull, _, _ = _decode_cull_inputs(
+                feats_d, config.alpha_min)
+            cull_cols = (ccx, ccy, r_cull)
         key = _expand.expand_pair_keys(
-            first_slot,
-            geom & ((1 << bits_x) - 1),
-            (geom >> bits_x) & ((1 << bits_y) - 1),
-            (geom >> (bits_x + bits_y)) & ((1 << bits_w) - 1),
+            first_slot, tx0_d, ty0_d, sw_d,
             total, n=n, k_cap=k_cap, ntx=ntx, num_tiles=num_tiles,
             bits_rank=bits_rank, tile_px=tp, cull=cull_cols,
             interpret=interpret)
@@ -213,6 +275,7 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     #   rank doubles as the feature-gather source into feats_d AND the
     #   low bits of the packed sort key.
     slot_ids = jnp.arange(k_cap, dtype=jnp.int32)
+    geom = tx0_d | (ty0_d << bits_x) | (sw_d << (bits_x + bits_y))
     if packed_first:
         word = geom | ((first_slot & mask_r) << shift_f)
         rows = jnp.stack([word])                                   # (1, N)
@@ -265,21 +328,13 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     if config.cull_pairs:
         # Fine-grained pair culling: a pair is dead when even the most
         # favorable pixel of the tile has alpha < alpha_min — exactly the
-        # kernel's own per-pixel cutoff, so dropping it is lossless.  Bound
-        # the quadratic form from below by lambda_min(conic) * dist^2 where
-        # dist is the center->tile-rect distance (conservative: lambda_min
-        # underestimates Q, so we only drop when certainly dead).
+        # kernel's own per-pixel cutoff, so dropping it is lossless.
         # Per-gaussian quantities are computed once at N; the per-slot
         # lookup is ONE feature-major (4, K) gather.
-        ca_n, cb_n, cc_n = feats_d[2], feats_d[3], feats_d[4]
-        half = 0.5 * (ca_n + cc_n)
-        lam_min_n = half - jnp.sqrt(
-            jnp.maximum(half * half - (ca_n * cc_n - cb_n * cb_n), 0.0))
-        thresh_n = 2.0 * jnp.log(
-            jnp.maximum(feats_d[8], 1e-12) / config.alpha_min)
-        cull_rows = jnp.stack([feats_d[0], feats_d[1],
-                               lam_min_n, thresh_n])           # (4, N)
-        vals = jnp.take(cull_rows, rank_e, axis=1)             # (4, K)
+        ccx, ccy, _, lam_min_n, thresh_n = _decode_cull_inputs(
+            feats_d, config.alpha_min)
+        cull_rows = jnp.stack([ccx, ccy, lam_min_n, thresh_n])   # (4, N)
+        vals = jnp.take(cull_rows, rank_e, axis=1)               # (4, K)
         cxd, cyd, lam_min, thresh = vals[0], vals[1], vals[2], vals[3]
         x0 = tile_col.astype(jnp.float32) * tp
         y0 = tile_row.astype(jnp.float32) * tp
@@ -342,12 +397,15 @@ def _sort_and_gather(key, pair, *, sorted_rank_bits: int, feats_d,
         return jnp.sum(edges)
 
     # -- 6. feature gather: the one unavoidable K-gather, feature-major ----
-    # Each sorted pair pulls its gaussian's 64-byte feature column from the
-    # DEPTH-ORDERED table in a single index operation.
-    # chunk padding so the kernel's fixed-size DMA never reads out of bounds
-    src = jnp.pad(sorted_rank, (0, config.chunk), constant_values=0)
-    features = jnp.take(feats_d, src, axis=1)                 # (16, Kp)
+    # Each sorted pair pulls its gaussian's packed 32-byte feature column
+    # from the DEPTH-ORDERED table in a single index operation; chunk
+    # zero-padding keeps the kernel's fixed-size DMA in bounds.
+    features = jnp.pad(jnp.take(feats_d, sorted_rank, axis=1),
+                       ((0, 0), (0, config.chunk)))            # (8, Kp)
+    if debug_stage == "gather":
+        return jnp.sum(features)
 
     return TileBins(features=features, tile_start=tile_start,
-                    tile_end=tile_end, num_pairs=num_pairs,
-                    overflow=overflow, tiles_x=ntx, tiles_y=nty)
+                    tile_end=tile_end, ranks=sorted_rank,
+                    num_pairs=num_pairs, overflow=overflow,
+                    tiles_x=ntx, tiles_y=nty)

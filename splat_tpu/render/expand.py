@@ -27,6 +27,13 @@ EXACT: one-hot entries are 0/1 (exact in bf16) and each selected value
 accumulates in f32.  The per-slot decode (span -> tile coords -> packed
 key) is a handful of (1, B) vector ops.
 
+(Emitting the full per-pair FEATURE columns here and carrying them as
+lax.sort payload operands was built and measured in round 2: the payload
+movement through the sort network costs ~1.5 ms per f32 row at K=2.2M —
+a 12-row payload sort is ~18 ms slower than the single-key sort, far
+more than the ~10 ms post-sort gather it replaces.  The gather stays;
+this kernel emits keys only.)
+
 Cost: ~B*WP compares + one thin matmul per block — ~4 ms at K=2.2M vs
 ~15 ms for the XLA scatter path, and the kernel emits final sort keys
 directly (no separate decode/tile/key stages).

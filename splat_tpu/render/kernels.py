@@ -3,7 +3,7 @@
 Each grid program owns one tile_px x tile_px pixel tile and walks its
 pre-sorted gaussian range front-to-back in lane-aligned windows:
 
-  HBM --async DMA--> VMEM window (16, chunk) of feature-major gaussian data
+  HBM --async DMA--> VMEM window (8, chunk) of packed feature-major data
   alpha        : (P, chunk) vectorized conic evaluation (VPU), pixels on the
                  sublane axis, gaussians on the lane axis — so per-gaussian
                  rows (1, chunk) and per-pixel columns (P, 1) broadcast with
@@ -22,9 +22,14 @@ This replaces the reference's per-pixel fragment/blend callbacks
 per gaussian; here every (pixel, gaussian) pair in a window is one lane of a
 dense VPU op, with no data-dependent control flow below the window level.
 
-Double-buffered DMA overlaps the next window's fetch with compute; a DMA for
-window j+1 is only started when the loop will actually process it, so no
-semaphore is left signaled across grid steps.
+DMA pipelining: window fetches run NBUF-buffered with a 2-window lookahead
+issued BEFORE the current window's compute, so HBM latency hides behind
+two windows of VPU work.  (Round 2 fix: the fetch for j+1 used to be
+issued only after window j's compute and saturation check — a full
+latency stall on every window, ~0.5 us x 17.6k windows at 1M@1080p.)
+On saturation early-exit, in-flight fetches are drained after the loop so
+no semaphore is left signaled across grid steps; the one speculative
+fetch a saturated tile wastes is free bandwidth.
 """
 
 from __future__ import annotations
@@ -38,6 +43,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from splat_tpu.config import RenderConfig
 from splat_tpu.render.binning import FEATURE_DIM, TileBins
+
+# Feature-window DMA buffers: lookahead 2 needs >= 3 live slots (j, j+1,
+# j+2); 4 keeps rem() on a power of two.
+NBUF = 4
 
 
 def _cumprod_excl_lanes(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -97,33 +106,60 @@ def _raster_kernel(
     def _():
         dma(0, 0).start()
 
+    @pl.when(nchunks > 1)
+    def _():
+        dma(1, 1).start()
+
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
     def body(carry):
         j, img, transmit, _ = carry
-        slot = jax.lax.rem(j, 2)
+        slot = jax.lax.rem(j, NBUF)
         dma(slot, j).wait()
-        f = feat_vmem[slot]                       # (FEATURE_DIM, chunk)
 
-        row = lambda i: f[i:i + 1, :]             # (1, chunk)
-        cx, cy = row(0), row(1)
-        ca, cb, cc = row(2), row(3), row(4)
-        rx, ry = row(9), row(10)
+        # Issue the fetch two windows ahead BEFORE this window's compute,
+        # so its HBM latency hides behind two windows of VPU work.
+        @pl.when(j + 2 < nchunks)
+        def _():
+            dma(jax.lax.rem(j + 2, NBUF), j + 2).start()
+
+        f = feat_vmem[slot]                       # (FEATURE_DIM, chunk) i32
+
+        # Decode the packed feature rows (binning.py layout) with cheap
+        # (1, chunk) window-level ops: rows 0-4 are f32 bits of
+        # [cx, cy, -a/2, -b, -c/2]; rows 5-7 are u16 pairs of (r, g),
+        # (b, opacity), (rx, ry).  The conic arrives prescaled and the
+        # bbox test uses squared radii, shaving ~3 (P, chunk) VPU ops.
+        frow = lambda i: jax.lax.bitcast_convert_type(
+            f[i:i + 1, :], jnp.float32)           # (1, chunk) f32 bits
+        lo16 = lambda i: (f[i:i + 1, :] & 0xFFFF).astype(jnp.float32)
+        hi16 = lambda i: ((f[i:i + 1, :] >> 16) & 0xFFFF).astype(
+            jnp.float32)
+        cx, cy = frow(0), frow(1)
+        a2, b2, c2 = frow(2), frow(3), frow(4)
+        inv_u16 = 1.0 / 65535.0
+        colors = jnp.concatenate(
+            [lo16(5), hi16(5), lo16(6)]) * inv_u16            # (3, chunk)
+        rx = lo16(7) * 0.125
+        ry = hi16(7) * 0.125
+        rx2, ry2 = rx * rx, ry * ry
         k_global = base + j * chunk + lane        # (1, chunk)
         # Fold the pair-range validity into the opacity ROW (1, chunk)
         # before broadcasting: lanes outside [s, e) get op=0, so they fail
         # the alpha cutoff with no (P, chunk)-wide range compares.
-        op = jnp.where((k_global >= s) & (k_global < e), row(8), 0.0)
+        op = jnp.where((k_global >= s) & (k_global < e),
+                       hi16(6) * inv_u16, 0.0)
 
         dx = pxf - cx                             # (P, chunk)
         dy = cy - pyf                             # local +y up on screen
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        dx_2 = dx * dx
+        dy_2 = dy * dy
+        power = a2 * dx_2 + c2 * dy_2 + b2 * (dx * dy)
         alpha = jnp.minimum(alpha_clamp, op * jnp.exp(power))
         # No power<=0 test here: visibility gating requires det(cov2d)>0
         # (projection.py), so the conic is PSD and power<=0 always holds;
         # the reference's check (src/pipelines.rs:135) is defensive only.
-        keep = ((alpha >= alpha_min)
-                & (jnp.abs(dx) <= rx) & (jnp.abs(dy) <= ry))
+        keep = (alpha >= alpha_min) & (dx_2 <= rx2) & (dy_2 <= ry2)
         alpha = jnp.where(keep, alpha, 0.0)
 
         t_before, t_chunk = _cumprod_excl_lanes(1.0 - alpha)
@@ -134,15 +170,11 @@ def _raster_kernel(
         # HIGHEST keeps f32 accuracy (TPU matmul default is bf16-grade,
         # which would burn the 45 dB parity budget).
         img = img + jax.lax.dot_general(
-            weight, f[5:8, :], (((1,), (1,)), ((), ())),
+            weight, colors, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)   # (P, 3)
         transmit = transmit * t_chunk
         saturated = jnp.max(transmit) < alpha_min
-
-        @pl.when((j + 1 < nchunks) & jnp.logical_not(saturated))
-        def _():
-            dma(jax.lax.rem(j + 1, 2), j + 1).start()
 
         return j + 1, img, transmit, saturated
 
@@ -154,7 +186,18 @@ def _raster_kernel(
             jnp.zeros((p, 3), jnp.float32),
             jnp.ones((p, 1), jnp.float32),
             jnp.bool_(False))
-    _, img, transmit, _ = jax.lax.while_loop(cond, body, init)
+    j_end, img, transmit, _ = jax.lax.while_loop(cond, body, init)
+
+    # Drain in-flight fetches on saturation early-exit (body j issues
+    # j + 2; exiting after body j_end - 1 leaves j_end and j_end + 1
+    # outstanding when they exist).
+    @pl.when(j_end < nchunks)
+    def _():
+        dma(jax.lax.rem(j_end, NBUF), j_end).wait()
+
+    @pl.when(j_end + 1 < nchunks)
+    def _():
+        dma(jax.lax.rem(j_end + 1, NBUF), j_end + 1).wait()
 
     for c in range(3):
         chan = img[:, c:c + 1] + transmit * float(bg[c])
@@ -182,8 +225,8 @@ def rasterize_tiles(bins: TileBins, h: int, w: int, config: RenderConfig,
         out_specs=pl.BlockSpec((3, 1, bs0, bs1), lambda t, *_: (0, t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, FEATURE_DIM, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NBUF, FEATURE_DIM, chunk), jnp.int32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
 

@@ -17,7 +17,8 @@ from splat_tpu.utils.fixtures import random_scene
 
 
 def _assert_bins_equal(a, b):
-    for name in ("tile_start", "tile_end", "num_pairs", "overflow"):
+    for name in ("tile_start", "tile_end", "ranks", "num_pairs",
+                 "overflow"):
         np.testing.assert_array_equal(
             np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
             err_msg=name)

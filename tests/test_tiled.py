@@ -43,7 +43,9 @@ class TestBinning:
         config = _cfg()
         proj = project_gaussians(scene, cam, config)
         bins = build_tile_bins(proj, 64, 64, config)
-        feats = np.asarray(bins.features)
+        feats = np.asarray(bins.features)          # (8, Kp) packed int32
+        cx_row = feats[0].view(np.float32)         # rows 0/1 are f32 bits
+        cy_row = feats[1].view(np.float32)
         start = np.asarray(bins.tile_start)
         end = np.asarray(bins.tile_end)
         center = np.asarray(proj.center_px)
@@ -56,30 +58,39 @@ class TestBinning:
             tx = min(max(int(cx // tp), 0), bins.tiles_x - 1)
             ty = min(max(int(cy // tp), 0), bins.tiles_y - 1)
             t = ty * bins.tiles_x + tx
-            rows = feats[:, start[t]:end[t]]  # feature-major (16, range)
-            match = np.isclose(rows[0], cx, atol=1e-3) & \
-                np.isclose(rows[1], cy, atol=1e-3)
+            match = np.isclose(cx_row[start[t]:end[t]], cx, atol=1e-3) & \
+                np.isclose(cy_row[start[t]:end[t]], cy, atol=1e-3)
             assert match.any(), f"gaussian {i} missing from center tile {t}"
 
     def test_within_tile_depth_order(self, small_random_scene):
-        """Pairs inside each tile must be front-to-back: feature row 11
-        carries each pair's view depth, which must be non-decreasing within
-        every tile's [start, end) range.  This is the correctness heart of
-        the binning design (depth sort first, then a *stable* tile sort);
-        dropping is_stable=True must fail this test."""
+        """Pairs inside each tile must be front-to-back: bins.ranks carries
+        each sorted pair's depth rank (ranks are assigned by ascending view
+        depth), and ranks must be strictly increasing within every tile's
+        [start, end) range.  This is the correctness heart of the binning
+        design (the packed (tile ‖ rank) key makes the unstable tile sort
+        depth-ordered inside each tile); any ordering bug — e.g. dropping
+        the rank bits from the key — must fail this test.  Rank order is
+        verified against the actual view depths, not just monotonicity."""
         cam = Camera.create(h=64, w=64, position=(0.0, 0.0, 4.0))
         config = _cfg()
         proj = project_gaussians(small_random_scene, cam, config)
         bins = build_tile_bins(proj, 64, 64, config)
-        feats = np.asarray(bins.features)
+        ranks = np.asarray(bins.ranks)
         start = np.asarray(bins.tile_start)
         end = np.asarray(bins.tile_end)
+        # depth by rank: rank r is the r-th gaussian in ascending view
+        # depth (invisible ones sort to the tail with depth inf)
+        depth_key = np.where(np.asarray(proj.visible),
+                             np.asarray(proj.depth), np.inf)
+        depth_of_rank = np.sort(depth_key)
         checked_pairs = 0
         for t in range(bins.tiles_x * bins.tiles_y):
-            depths = feats[11, start[t]:end[t]]
-            assert np.all(np.diff(depths) >= 0), (
-                f"tile {t} not front-to-back: {depths}")
-            checked_pairs += depths.size
+            r = ranks[start[t]:end[t]]
+            assert np.all(np.diff(r) > 0), (
+                f"tile {t} not front-to-back: ranks {r}")
+            depths = depth_of_rank[r]
+            assert np.all(np.diff(depths) >= 0)
+            checked_pairs += r.size
         # the scene must actually exercise multi-pair tiles
         assert checked_pairs == int(bins.num_pairs)
         assert (end - start).max() >= 8
