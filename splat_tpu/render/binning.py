@@ -63,8 +63,9 @@ class TileBins:
       [cx, cy, -a/2, -b, -c/2] with (a, b, c) the conic — prescaled so
       the kernel evaluates power = r2*dx^2 + r4*dy^2 + r3*(dx*dy)
       directly.  Rows 5-7 are u16 pairs (low ‖ high << 16):
-      row 5 (r, g) and row 6 (b, opacity) in 1/65535 units, row 7
-      (rx, ry) in 1/8-px units.  The raster kernel decodes these with
+      row 5 (r, g) and row 6 (b, opacity) in 1/65535 units; row 7 packs
+      (rx, ry) as 15-bit 1/8-px fields with the visibility flag in bit
+      30.  The raster kernel decodes these with
       (1, chunk) window-level ops — far cheaper than gathering wider
       rows (gather cost jumps ~5x above 8 rows).
     tile_start/tile_end: (T,) int32 pair ranges per tile.
@@ -154,14 +155,9 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     if debug_stage == "order":
         return jnp.sum(order)
 
-    # -- 2. tile spans + pair counts (computed in original order, then the
-    #       small N-sized fields are re-indexed into depth order) ----------
+    # -- 2. pack features; tile spans + pair counts --------------------------
     cx, cy = proj.center_px[:, 0], proj.center_px[:, 1]
     rx, ry = proj.radius_px[:, 0], proj.radius_px[:, 1]
-    tx0_o = jnp.clip(jnp.floor((cx - rx) / tp), 0, ntx - 1).astype(jnp.int32)
-    tx1_o = jnp.clip(jnp.floor((cx + rx) / tp), 0, ntx - 1).astype(jnp.int32)
-    ty0_o = jnp.clip(jnp.floor((cy - ry) / tp), 0, nty - 1).astype(jnp.int32)
-    ty1_o = jnp.clip(jnp.floor((cy + ry) / tp), 0, nty - 1).astype(jnp.int32)
     # Adaptive bit budget for the packed expansion word (see step 3):
     # tile coords need ceil(log2(ntx/nty)) bits, the span width one more
     # than x, and the within-span index r = slot - first_slot is bounded by
@@ -176,41 +172,48 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     packed_first = (1 + bits_x + bits_y + bits_w + bits_r) <= 32
     shift_f = bits_x + bits_y + bits_w
     mask_r = (1 << bits_r) - 1
-    # Move geometry AND all kernel feature rows into depth order with ONE
-    # consolidated take — each TPU gather index has a fixed cost floor, so
-    # a second N-gather would double it.  All rows are int32 (f32 bits /
-    # u16 pairs / packed tile coords); see the module docstring for why
-    # bit patterns must never ride in f32-typed arrays.  Invisible
-    # gaussians' rows are zeroed: their projected state may be NaN/inf,
-    # and the expansion kernel's one-hot matmul would propagate one bad
-    # column into every slot of any block whose owner window sees it
-    # (0 * NaN = NaN).  sw = 0 also encodes count 0.
-    feat_rows = jnp.stack([
-        _f32_bits(jnp.where(proj.visible, cx, 0.0)),
-        _f32_bits(jnp.where(proj.visible, cy, 0.0)),
-        _f32_bits(jnp.where(proj.visible, -0.5 * proj.conic[:, 0], 0.0)),
-        _f32_bits(jnp.where(proj.visible, -proj.conic[:, 1], 0.0)),
-        _f32_bits(jnp.where(proj.visible, -0.5 * proj.conic[:, 2], 0.0)),
+    # Move ALL per-gaussian state into depth order with ONE consolidated
+    # 8-row take — each TPU gather index has a fixed cost floor, a second
+    # N-gather would double it, and gather cost jumps ~5x above 8 rows.
+    # All rows are int32 (f32 bits / u16 pairs); see the module docstring
+    # for why bit patterns must never ride in f32-typed arrays.  Row 7
+    # packs the radii as 15-bit 1/8-px fields plus the VISIBILITY bit:
+    # tile spans and pair counts are recomputed post-gather from the
+    # quantized radii (the quantized value is the single source of truth
+    # for both the tile rect and the kernel's bbox test), which frees the
+    # two geometry rows an explicit span encoding would need.
+    feats_d = jnp.take(jnp.stack([
+        _f32_bits(cx),
+        _f32_bits(cy),
+        _f32_bits(-0.5 * proj.conic[:, 0]),
+        _f32_bits(-proj.conic[:, 1]),
+        _f32_bits(-0.5 * proj.conic[:, 2]),
         _pack_u16(jnp.clip(proj.color[:, 0], 0.0, 1.0),
                   jnp.clip(proj.color[:, 1], 0.0, 1.0), _U16, _U16),
         _pack_u16(jnp.clip(proj.color[:, 2], 0.0, 1.0),
                   jnp.asarray(proj.opacity), _U16, _U16),
-        _pack_u16(rx, ry, 8.0, 8.0),               # 1/8 px, max 8191.9 px
-    ])                                                          # (8, N)
-    geom_rows = jnp.stack([
-        tx0_o | (ty0_o << 16),
-        (tx1_o - tx0_o + 1) | ((ty1_o - ty0_o + 1) << 16),
-    ])                                                          # (2, N)
-    all_o = jnp.where(proj.visible[None, :],
-                      jnp.concatenate([geom_rows, feat_rows]), 0)
-    all_d = jnp.take(all_o, order, axis=1)
-    tx0_d = all_d[0] & 0xFFFF
-    ty0_d = (all_d[0] >> 16) & 0xFFFF
-    sw_d = all_d[1] & 0xFFFF
-    counts = sw_d * ((all_d[1] >> 16) & 0xFFFF)
-    # Depth-ordered packed feature table: the post-sort K-gather indexes
-    # this by depth rank (which the packed sort key carries for free).
-    feats_d = all_d[2:]
+        (jnp.clip(jnp.round(rx * 8.0), 0.0, 32767.0).astype(jnp.int32)
+         | (jnp.clip(jnp.round(ry * 8.0), 0.0, 32767.0).astype(jnp.int32)
+            << 15)
+         | (proj.visible.astype(jnp.int32) << 30)),
+    ]), order, axis=1)                                          # (8, N)
+    cx_d = _bits_f32(feats_d[0])
+    cy_d = _bits_f32(feats_d[1])
+    rx_d = (feats_d[7] & 0x7FFF).astype(jnp.float32) * 0.125
+    ry_d = ((feats_d[7] >> 15) & 0x7FFF).astype(jnp.float32) * 0.125
+    vis_d = ((feats_d[7] >> 30) & 1).astype(jnp.bool_)
+    # Invisible gaussians may carry NaN centers: their float->int span
+    # casts below are garbage (but finite), so gate every derived field.
+    tx0_d = jnp.where(vis_d, jnp.clip(
+        jnp.floor((cx_d - rx_d) / tp), 0, ntx - 1).astype(jnp.int32), 0)
+    tx1_d = jnp.where(vis_d, jnp.clip(
+        jnp.floor((cx_d + rx_d) / tp), 0, ntx - 1).astype(jnp.int32), 0)
+    ty0_d = jnp.where(vis_d, jnp.clip(
+        jnp.floor((cy_d - ry_d) / tp), 0, nty - 1).astype(jnp.int32), 0)
+    ty1_d = jnp.where(vis_d, jnp.clip(
+        jnp.floor((cy_d + ry_d) / tp), 0, nty - 1).astype(jnp.int32), 0)
+    sw_d = tx1_d - tx0_d + 1
+    counts = jnp.where(vis_d, sw_d * (ty1_d - ty0_d + 1), 0)
 
     cum = jnp.cumsum(counts)
     total = cum[-1]

@@ -127,9 +127,11 @@ def _raster_kernel(
 
         # Decode the packed feature rows (binning.py layout) with cheap
         # (1, chunk) window-level ops: rows 0-4 are f32 bits of
-        # [cx, cy, -a/2, -b, -c/2]; rows 5-7 are u16 pairs of (r, g),
-        # (b, opacity), (rx, ry).  The conic arrives prescaled and the
-        # bbox test uses squared radii, shaving ~3 (P, chunk) VPU ops.
+        # [cx, cy, -a/2, -b, -c/2]; rows 5/6 are u16 pairs of (r, g) and
+        # (b, opacity); row 7 is 15-bit (rx, ry) in 1/8-px units (bit 30
+        # is the visibility flag, unused here).  The conic arrives
+        # prescaled and the bbox test uses squared radii, shaving ~3
+        # (P, chunk) VPU ops.
         frow = lambda i: jax.lax.bitcast_convert_type(
             f[i:i + 1, :], jnp.float32)           # (1, chunk) f32 bits
         lo16 = lambda i: (f[i:i + 1, :] & 0xFFFF).astype(jnp.float32)
@@ -140,8 +142,8 @@ def _raster_kernel(
         inv_u16 = 1.0 / 65535.0
         colors = jnp.concatenate(
             [lo16(5), hi16(5), lo16(6)]) * inv_u16            # (3, chunk)
-        rx = lo16(7) * 0.125
-        ry = hi16(7) * 0.125
+        rx = (f[7:8, :] & 0x7FFF).astype(jnp.float32) * 0.125
+        ry = ((f[7:8, :] >> 15) & 0x7FFF).astype(jnp.float32) * 0.125
         rx2, ry2 = rx * rx, ry * ry
         k_global = base + j * chunk + lane        # (1, chunk)
         # Fold the pair-range validity into the opacity ROW (1, chunk)
@@ -163,13 +165,15 @@ def _raster_kernel(
         alpha = jnp.where(keep, alpha, 0.0)
 
         t_before, t_chunk = _cumprod_excl_lanes(1.0 - alpha)
-        weight = alpha * t_before * transmit      # (P, chunk)
+        weight = alpha * t_before                 # (P, chunk), window-local
         # Channel accumulation on the MXU: contract (P, chunk) with the
         # (3, chunk) color rows on their lane dims (no transpose) — frees
         # ~6 VPU passes per window and overlaps with the VPU's next ops.
         # HIGHEST keeps f32 accuracy (TPU matmul default is bf16-grade,
-        # which would burn the 45 dB parity budget).
-        img = img + jax.lax.dot_general(
+        # which would burn the 45 dB parity budget).  The carried
+        # transmittance multiplies the contracted (P, 3) result — one tiny
+        # op instead of a full (P, chunk) pass on the weights.
+        img = img + transmit * jax.lax.dot_general(
             weight, colors, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)   # (P, 3)
