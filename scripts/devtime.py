@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--w", type=int, default=1920)
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--tile", type=int, default=32)
+    ap.add_argument("--tiley", type=int, default=0)
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--dup", type=float, default=4)
     ap.add_argument("--scale", type=str, default="0.004,0.03")
@@ -65,8 +66,8 @@ def main():
         from splat_tpu.utils.image import psnr
         scene = st.surface_scene(5000, seed=11)
         cam = st.Camera.create(h=600, w=800, position=(0.0, -1.0, 3.5))
-        config = RenderConfig(tile_px=args.tile, chunk=args.chunk,
-                              max_dup_factor=args.dup)
+        config = RenderConfig(tile_px=args.tile, tile_py=args.tiley,
+                              chunk=args.chunk, max_dup_factor=args.dup)
         img = np.asarray(render_tiled_checked(scene.to_device(), cam,
                                               config))
         gold = render_oracle(scene, cam, config)
@@ -87,8 +88,8 @@ def main():
     pos = (0.0, 0.0, 400.0) if args.empty else (0.0, 0.0, 4.0)
     tgt = (0.0, 0.0, 500.0) if args.empty else (0.0, 0.0, 0.0)
     cam = st.Camera.create(h=args.h, w=args.w, position=pos, target=tgt)
-    config = RenderConfig(tile_px=args.tile, chunk=args.chunk,
-                          max_dup_factor=args.dup,
+    config = RenderConfig(tile_px=args.tile, tile_py=args.tiley,
+                          chunk=args.chunk, max_dup_factor=args.dup,
                           cull_pairs=(args.nocull is False))
 
     f_frames = args.frames
@@ -135,7 +136,7 @@ def main():
     else:
         stats = {"num_pairs": -1, "max_tile_pairs": -1, "overflow": -1}
     ms = dt / f_frames * 1e3
-    print(f"n={args.n} {args.w}x{args.h} tile={args.tile} chunk={args.chunk} "
+    print(f"n={args.n} {args.w}x{args.h} tile={args.tile}x{args.tiley or args.tile} chunk={args.chunk} "
           f"dup={args.dup} cull={args.nocull is False} "
           f"stage={args.stage} "
           f"empty={args.empty} | "

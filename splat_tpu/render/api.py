@@ -64,15 +64,15 @@ def pair_stats(scene, camera: Camera, config: RenderConfig | None = None):
     @jax.jit
     def f(scene, camera):
         proj = project_gaussians(scene, camera, config)
-        tp = config.tile_px
-        ntx = -(-camera.w // tp)
-        nty = -(-camera.h // tp)
+        tpx, tpy = config.tile_w, config.tile_h
+        ntx = -(-camera.w // tpx)
+        nty = -(-camera.h // tpy)
         cx, cy = proj.center_px[:, 0], proj.center_px[:, 1]
         rx, ry = proj.radius_px[:, 0], proj.radius_px[:, 1]
-        tx0 = jnp.clip(jnp.floor((cx - rx) / tp), 0, ntx - 1)
-        tx1 = jnp.clip(jnp.floor((cx + rx) / tp), 0, ntx - 1)
-        ty0 = jnp.clip(jnp.floor((cy - ry) / tp), 0, nty - 1)
-        ty1 = jnp.clip(jnp.floor((cy + ry) / tp), 0, nty - 1)
+        tx0 = jnp.clip(jnp.floor((cx - rx) / tpx), 0, ntx - 1)
+        tx1 = jnp.clip(jnp.floor((cx + rx) / tpx), 0, ntx - 1)
+        ty0 = jnp.clip(jnp.floor((cy - ry) / tpy), 0, nty - 1)
+        ty1 = jnp.clip(jnp.floor((cy + ry) / tpy), 0, nty - 1)
         counts = jnp.where(proj.visible,
                            (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
         return (jnp.sum(proj.visible.astype(jnp.int32)),

@@ -135,9 +135,9 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     the named sub-stage ('order', 'counts', 'slots', 'tiles', 'sort',
     'edges', 'gather') so each stage's device cost can be measured
     cumulatively."""
-    tp = config.tile_px
-    ntx = -(-w // tp)
-    nty = -(-h // tp)
+    tpx, tpy = config.tile_w, config.tile_h
+    ntx = -(-w // tpx)
+    nty = -(-h // tpy)
     num_tiles = ntx * nty
     n = proj.depth.shape[0]
     if interpret is None:
@@ -205,13 +205,13 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     # Invisible gaussians may carry NaN centers: their float->int span
     # casts below are garbage (but finite), so gate every derived field.
     tx0_d = jnp.where(vis_d, jnp.clip(
-        jnp.floor((cx_d - rx_d) / tp), 0, ntx - 1).astype(jnp.int32), 0)
+        jnp.floor((cx_d - rx_d) / tpx), 0, ntx - 1).astype(jnp.int32), 0)
     tx1_d = jnp.where(vis_d, jnp.clip(
-        jnp.floor((cx_d + rx_d) / tp), 0, ntx - 1).astype(jnp.int32), 0)
+        jnp.floor((cx_d + rx_d) / tpx), 0, ntx - 1).astype(jnp.int32), 0)
     ty0_d = jnp.where(vis_d, jnp.clip(
-        jnp.floor((cy_d - ry_d) / tp), 0, nty - 1).astype(jnp.int32), 0)
+        jnp.floor((cy_d - ry_d) / tpy), 0, nty - 1).astype(jnp.int32), 0)
     ty1_d = jnp.where(vis_d, jnp.clip(
-        jnp.floor((cy_d + ry_d) / tp), 0, nty - 1).astype(jnp.int32), 0)
+        jnp.floor((cy_d + ry_d) / tpy), 0, nty - 1).astype(jnp.int32), 0)
     sw_d = tx1_d - tx0_d + 1
     counts = jnp.where(vis_d, sw_d * (ty1_d - ty0_d + 1), 0)
 
@@ -225,7 +225,13 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     # -- 3. per-slot expansion -> packed (tile ‖ rank) sort keys -----------
     bits_rank = max(int(n - 1).bit_length(), 1)
     bits_tile = max(int(num_tiles).bit_length(), 1)  # sentinel must fit
-    packed_key = bits_tile + bits_rank <= 31
+    # 32 bits are usable, not 31: when the key fills the sign bit, XOR-ing
+    # the whole key space with 0x80000000 makes signed int32 order equal
+    # unsigned order (the classic radix trick), so lax.sort still groups
+    # by tile.  Rank extraction is unaffected (the flip touches only the
+    # top tile bit).
+    packed_key = bits_tile + bits_rank <= 32
+    key_xor = -(1 << 31) if bits_tile + bits_rank == 32 else 0
     use_pallas_expand = (
         config.expand_impl != "xla"
         and packed_key and k_cap < _expand.MAX_KCAP
@@ -246,19 +252,19 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
         key = _expand.expand_pair_keys(
             first_slot, tx0_d, ty0_d, sw_d,
             total, n=n, k_cap=k_cap, ntx=ntx, num_tiles=num_tiles,
-            bits_rank=bits_rank, tile_px=tp, cull=cull_cols,
-            interpret=interpret)
+            bits_rank=bits_rank, tile_wh=(tpx, tpy), key_xor=key_xor,
+            cull=cull_cols, interpret=interpret)
         if config.cull_pairs:
             # pairs the kernel will actually walk (post-cull)
-            num_pairs = jnp.sum(
-                ((key >> bits_rank) != num_tiles).astype(jnp.int32))
+            tile_of = ((key ^ key_xor) >> bits_rank) & ((1 << bits_tile) - 1)
+            num_pairs = jnp.sum((tile_of != num_tiles).astype(jnp.int32))
         if debug_stage in ("slots", "tiles"):
             return jnp.sum(key)
         return _sort_and_gather(key, None, sorted_rank_bits=bits_rank,
-                                feats_d=feats_d, num_tiles=num_tiles,
-                                num_pairs=num_pairs, overflow=overflow,
-                                ntx=ntx, nty=nty, config=config,
-                                debug_stage=debug_stage)
+                                key_xor=key_xor, feats_d=feats_d,
+                                num_tiles=num_tiles, num_pairs=num_pairs,
+                                overflow=overflow, ntx=ntx, nty=nty,
+                                config=config, debug_stage=debug_stage)
 
     # XLA fallback expansion via batched diff-scatter-cumsum:
     # TPU gathers cost ~6-7 ns per INDEX (scalar-core bound): a K-sized
@@ -339,10 +345,10 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
         cull_rows = jnp.stack([ccx, ccy, lam_min_n, thresh_n])   # (4, N)
         vals = jnp.take(cull_rows, rank_e, axis=1)               # (4, K)
         cxd, cyd, lam_min, thresh = vals[0], vals[1], vals[2], vals[3]
-        x0 = tile_col.astype(jnp.float32) * tp
-        y0 = tile_row.astype(jnp.float32) * tp
-        ddx = jnp.maximum(jnp.maximum(x0 - cxd, cxd - (x0 + tp - 1)), 0.0)
-        ddy = jnp.maximum(jnp.maximum(y0 - cyd, cyd - (y0 + tp - 1)), 0.0)
+        x0 = tile_col.astype(jnp.float32) * tpx
+        y0 = tile_row.astype(jnp.float32) * tpy
+        ddx = jnp.maximum(jnp.maximum(x0 - cxd, cxd - (x0 + tpx - 1)), 0.0)
+        ddy = jnp.maximum(jnp.maximum(y0 - cyd, cyd - (y0 + tpy - 1)), 0.0)
         q_low = lam_min * (ddx * ddx + ddy * ddy)
         # alpha_max = opacity * exp(-q_low / 2) < alpha_min  <=>
         # q_low > 2 * log(opacity / alpha_min)
@@ -355,19 +361,19 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     num_pairs = jnp.sum(valid.astype(jnp.int32))
     pair = None
     if packed_key:
-        key = (tile_id << bits_rank) | rank_e
+        key = ((tile_id << bits_rank) | rank_e) ^ key_xor
     else:
         pair = (tile_id, rank_e)
     return _sort_and_gather(key, pair, sorted_rank_bits=bits_rank,
-                            feats_d=feats_d, num_tiles=num_tiles,
-                            num_pairs=num_pairs, overflow=overflow,
-                            ntx=ntx, nty=nty, config=config,
-                            debug_stage=debug_stage)
+                            key_xor=key_xor, feats_d=feats_d,
+                            num_tiles=num_tiles, num_pairs=num_pairs,
+                            overflow=overflow, ntx=ntx, nty=nty,
+                            config=config, debug_stage=debug_stage)
 
 
-def _sort_and_gather(key, pair, *, sorted_rank_bits: int, feats_d,
-                     num_tiles: int, num_pairs, overflow, ntx: int,
-                     nty: int, config: RenderConfig,
+def _sort_and_gather(key, pair, *, sorted_rank_bits: int, key_xor: int,
+                     feats_d, num_tiles: int, num_pairs, overflow,
+                     ntx: int, nty: int, config: RenderConfig,
                      debug_stage: str | None):
     """Steps 4-6: tile sort, per-tile ranges, feature gather.
 
@@ -381,8 +387,8 @@ def _sort_and_gather(key, pair, *, sorted_rank_bits: int, feats_d,
     if key is not None:
         sorted_key = jax.lax.sort(key)
         sorted_rank = sorted_key & ((1 << sorted_rank_bits) - 1)
-        edge_queries = (jnp.arange(num_tiles + 1, dtype=jnp.int32)
-                        << sorted_rank_bits)
+        edge_queries = ((jnp.arange(num_tiles + 1, dtype=jnp.int32)
+                         << sorted_rank_bits) ^ key_xor)
         edge_space = sorted_key
     else:
         sorted_tile, sorted_rank = jax.lax.sort(pair, num_keys=1,

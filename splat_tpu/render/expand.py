@@ -69,7 +69,7 @@ MAX_TILE_COORD = 255            # tx0 / ty0 / span_w must fit one byte
 
 def _expand_kernel(seg_ref, total_ref, table_hbm, out_ref, win, sem,
                    *, ntx: int, bits_rank: int, num_tiles: int, n: int,
-                   cull: bool, tp8: int):
+                   cull: bool, tw8: int, th8: int, key_xor: int):
     prog = pl.program_id(0)
     total = total_ref[0]
 
@@ -139,8 +139,16 @@ def _expand_kernel(seg_ref, total_ref, table_hbm, out_ref, win, sem,
         dy = jnp.floor((r + 0.5) / sw)
         dx = r - dy * sw
         tile = (ty0 + dy) * float(ntx) + tx0 + dx       # exact: < 2^24
-        key = (tile.astype(jnp.int32) << bits_rank) | rank
-        sentinel = (num_tiles << bits_rank) | rank
+        # key_xor flips the sign bit when tile+rank bits fill 32, making
+        # signed sort order equal unsigned order (see binning.py); shifts
+        # that overflow int31 wrap to exactly the intended bit pattern.
+        # (The sentinel's high part is wrapped host-side: a Python int
+        # above 2^31 - 1 cannot become an int32 constant.)
+        key = ((tile.astype(jnp.int32) << bits_rank) | rank) ^ key_xor
+        sent_hi = (num_tiles << bits_rank) & 0xFFFFFFFF
+        if sent_hi >= 1 << 31:
+            sent_hi -= 1 << 32
+        sentinel = (sent_hi | rank) ^ key_xor
         key = jnp.where(k0 + k_row < total, key, sentinel)
         if cull:
             # Conservative dead-pair test in 8-px units: the tile rect is
@@ -150,12 +158,12 @@ def _expand_kernel(seg_ref, total_ref, table_hbm, out_ref, win, sem,
             # every tile pixel (lossless; the raster kernel would zero the
             # whole pair anyway).
             cx8, cy8, r8 = res[6:7], res[7:8], res[8:9]
-            x08 = (tx0 + dx) * float(tp8)
-            y08 = (ty0 + dy) * float(tp8)
+            x08 = (tx0 + dx) * float(tw8)
+            y08 = (ty0 + dy) * float(th8)
             ddx8 = jnp.maximum(jnp.maximum(
-                x08 - cx8 - 1.0, cx8 - x08 - float(tp8)), 0.0)
+                x08 - cx8 - 1.0, cx8 - x08 - float(tw8)), 0.0)
             ddy8 = jnp.maximum(jnp.maximum(
-                y08 - cy8 - 1.0, cy8 - y08 - float(tp8)), 0.0)
+                y08 - cy8 - 1.0, cy8 - y08 - float(th8)), 0.0)
             dead = ((ddx8 * ddx8 + ddy8 * ddy8
                      > (r8 - 1.0) * (r8 - 1.0))
                     & (r8 < 254.5))   # r8 == 255: never-cull sentinel
@@ -169,7 +177,7 @@ def _expand_kernel(seg_ref, total_ref, table_hbm, out_ref, win, sem,
 
 def expand_pair_keys(first_slot, tx0, ty0, span_w, total, *, n: int,
                      k_cap: int, ntx: int, num_tiles: int, bits_rank: int,
-                     tile_px: int = 32, cull=None,
+                     tile_wh=(32, 32), key_xor: int = 0, cull=None,
                      interpret: bool = False):
     """(N,) depth-ordered spans -> (k_cap,) packed (tile ‖ rank) keys.
 
@@ -186,7 +194,7 @@ def expand_pair_keys(first_slot, tx0, ty0, span_w, total, *, n: int,
     tile coords <= 255 (callers fall back to the XLA path otherwise).
     """
     assert k_cap % (BLOCK * BLOCKS_PER_PROG) == 0
-    assert tile_px % 8 == 0
+    assert tile_wh[0] % 8 == 0 and tile_wh[1] % 8 == 0
     num_blocks = k_cap // BLOCK
     n_pad = -(-(n + WINDOW) // 128) * 128
 
@@ -240,7 +248,8 @@ def expand_pair_keys(first_slot, tx0, ty0, span_w, total, *, n: int,
     kernel = functools.partial(_expand_kernel, ntx=ntx,
                                bits_rank=bits_rank, num_tiles=num_tiles,
                                n=n, cull=cull is not None,
-                               tp8=tile_px // 8)
+                               tw8=tile_wh[0] // 8, th8=tile_wh[1] // 8,
+                               key_xor=key_xor)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_blocks // BLOCKS_PER_PROG,),

@@ -76,8 +76,9 @@ def _raster_kernel(
     out_ref,                        # (3, 1, bs0, bs1) VMEM block
     # scratch
     feat_vmem, sem,
-    *, chunk: int, tile_px: int, tiles_x: int, bs0: int, bs1: int,
-    alpha_clamp: float, alpha_min: float, bg: tuple[float, float, float],
+    *, chunk: int, tile_w: int, tile_h: int, tiles_x: int, bs0: int,
+    bs1: int, alpha_clamp: float, alpha_min: float,
+    bg: tuple[float, float, float],
 ):
     t = pl.program_id(0)
     s = start_ref[t]
@@ -88,12 +89,12 @@ def _raster_kernel(
 
     # --- pixel coordinates as a (P, 1) column ------------------------------
     p_lin = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    px_loc = p_lin % tile_px
-    py_loc = p_lin // tile_px
+    px_loc = p_lin % tile_w
+    py_loc = p_lin // tile_w
     tile_y = t // tiles_x
     tile_x = t % tiles_x
-    pxf = (tile_x * tile_px + px_loc).astype(jnp.float32)   # (P, 1)
-    pyf = (tile_y * tile_px + py_loc).astype(jnp.float32)
+    pxf = (tile_x * tile_w + px_loc).astype(jnp.float32)    # (P, 1)
+    pyf = (tile_y * tile_h + py_loc).astype(jnp.float32)
 
     def dma(slot, j):
         off = pl.multiple_of(base + j * chunk, 128)
@@ -211,14 +212,14 @@ def _raster_kernel(
 def rasterize_tiles(bins: TileBins, h: int, w: int, config: RenderConfig,
                     *, interpret: bool = False) -> jax.Array:
     """Run the compositing kernel.  Returns float32 (H, W, 3) in [0, 1]."""
-    tp = config.tile_px
+    tw, th = config.tile_w, config.tile_h
     bs0, bs1 = config.block_shape
     ntx, nty = bins.tiles_x, bins.tiles_y
     num_tiles = ntx * nty
     chunk = config.chunk
 
     kernel = functools.partial(
-        _raster_kernel, chunk=chunk, tile_px=tp, tiles_x=ntx,
+        _raster_kernel, chunk=chunk, tile_w=tw, tile_h=th, tiles_x=ntx,
         bs0=bs0, bs1=bs1, alpha_clamp=config.alpha_clamp,
         alpha_min=config.alpha_min, bg=tuple(config.background))
 
@@ -246,7 +247,7 @@ def rasterize_tiles(bins: TileBins, h: int, w: int, config: RenderConfig,
     )(bins.tile_start, bins.tile_end, bins.features)
 
     # untile: (3, T, bs0, bs1) -> (H, W, 3).  Block pixel p = r*bs1 + c maps
-    # to (p // tile_px, p % tile_px) inside the tile.
-    img = out.reshape(3, nty, ntx, tp, tp)
-    img = img.transpose(1, 3, 2, 4, 0).reshape(nty * tp, ntx * tp, 3)
+    # to (p // tile_w, p % tile_w) inside the tile.
+    img = out.reshape(3, nty, ntx, th, tw)
+    img = img.transpose(1, 3, 2, 4, 0).reshape(nty * th, ntx * tw, 3)
     return img[:h, :w]

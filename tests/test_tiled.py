@@ -130,6 +130,22 @@ class TestTiledRender:
         p = psnr(tiled, gold)
         assert p >= 45.0, f"tiled vs oracle PSNR {p:.2f}"
 
+    def test_rectangular_tiles(self, small_random_scene):
+        """tile_py != tile_px: rect tiles trade pair count against pixel
+        work; the image must match the square-tile render (same math,
+        different decomposition) and the dense reference."""
+        cam = Camera.create(h=96, w=160, position=(0.0, 0.0, 4.0))
+        sq = np.asarray(render_tiled(small_random_scene, cam, _cfg(),
+                                     interpret=True))
+        for tpy in (16, 8):
+            cfg = _cfg(tile_py=tpy)
+            rect = np.asarray(render_tiled(small_random_scene, cam, cfg,
+                                           interpret=True))
+            p = psnr(rect, sq)
+            assert p >= 60.0, f"32x{tpy} vs 32x32 PSNR {p:.2f}"
+        dense = np.asarray(render_dense(small_random_scene, cam, _cfg()))
+        assert psnr(rect, dense) >= 45.0
+
     def test_nondivisible_resolution(self, naive_scene):
         """H/W not multiples of tile_px: edge tiles crop correctly."""
         cam = Camera.create(h=70, w=90,
