@@ -35,9 +35,10 @@ class RenderConfig:
         src/pipelines.rs:139 ``0.99f32.min(alpha * power.exp())``).
       alpha_min: splats contributing less than this alpha are skipped
         (reference: src/pipelines.rs:140-143, 1/255).
-      tile_px: square tile edge in pixels for the tile-binned rasterizer.
+      tile_px: tile width in pixels for the tile-binned rasterizer (and
+        the height too, unless tile_py is set).
       block_shape: (sublanes, lanes) layout of one tile's pixels inside the
-        Pallas kernel; product must equal tile_px**2.
+        Pallas kernel; product must equal tile_w * tile_h.
       max_dup_factor: capacity of the (gaussian, tile) duplication buffer as
         a multiple of N.  The INRIA-style binning produces a data-dependent
         number of pairs; XLA needs a static bound.  Overflow is detected and
@@ -54,15 +55,17 @@ class RenderConfig:
     tile_px: int = 32
     # Tile height in pixels; 0 means square tiles (= tile_px).  Rectangular
     # tiles trade pair count against per-pair pixel work: a splat's tile
-    # span grows on the short axis but each pair covers fewer pixels.  For
-    # typical trained-scene footprints (~13 px) 32x16 cuts raster-kernel
-    # pixel work ~2x for ~1.3x more pairs — a measured net win at 1M@1080p.
+    # span grows on the short axis but each pair covers fewer pixels.
+    # Measured at 1M@1080p (~13 px footprints): 32x16 costs +30% pairs for
+    # the 2x pixel-work cut and nets out ~4% SLOWER than 32x32 — square
+    # stays the default; the knob exists for other footprint distributions.
     tile_py: int = 0
     # Duplication capacity as a multiple of N.  Every K-sized binning op
     # (expansion, sort, feature gather) scales with it, so TUNE IT DOWN
     # for throughput: trained-scene-like distributions at tile_px=32 run
-    # ~2.0 pairs/gaussian, and 2.2 is ~25% faster than the default (the
-    # bench runs there, guarded by its overflow audit).  The default stays
+    # ~2.0 pairs/gaussian, and 2.05 is ~25% faster than the default (the
+    # bench runs there, guarded by its overflow audit; pair_stats()
+    # suggests a capacity for any scene+pose).  The default stays
     # conservative because the raw render_fn path has no overflow check;
     # render()/CLI/bench all detect and surface overflow.
     max_dup_factor: float = 4.0
@@ -79,6 +82,12 @@ class RenderConfig:
     # the fallback (profiling / very large tile grids).
     expand_impl: str = "auto"
     background: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # Color accumulation matmul precision in the raster kernel.  False
+    # (default): one bf16 MXU pass with f32 accumulation — measured
+    # 70.3 dB vs the oracle on-chip (threshold 45), ~3.8 ms/frame faster
+    # at 1M@1080p.  True: Precision.HIGHEST (79.5 dB, the u16 feature
+    # quantization is then the accuracy bound).
+    exact_color_accum: bool = False
     # Radius of the splat bounding box in standard deviations.  The reference
     # uses 3-sigma quads (src/pipelines.rs:27).
     sigma_cutoff: float = 3.0

@@ -78,7 +78,7 @@ def _raster_kernel(
     feat_vmem, sem,
     *, chunk: int, tile_w: int, tile_h: int, tiles_x: int, bs0: int,
     bs1: int, alpha_clamp: float, alpha_min: float,
-    bg: tuple[float, float, float],
+    bg: tuple[float, float, float], color_precision,
 ):
     t = pl.program_id(0)
     s = start_ref[t]
@@ -170,13 +170,18 @@ def _raster_kernel(
         # Channel accumulation on the MXU: contract (P, chunk) with the
         # (3, chunk) color rows on their lane dims (no transpose) — frees
         # ~6 VPU passes per window and overlaps with the VPU's next ops.
-        # HIGHEST keeps f32 accuracy (TPU matmul default is bf16-grade,
-        # which would burn the 45 dB parity budget).  The carried
-        # transmittance multiplies the contracted (P, 3) result — one tiny
-        # op instead of a full (P, chunk) pass on the weights.
+        # Precision DEFAULT (one bf16 pass, f32 accumulation) is the
+        # measured sweet spot: per-term weight rounding is ~0.4% relative
+        # but contributions average down — 70.3 dB vs the oracle at
+        # 800x600 on-chip (HIGHEST: 79.5 dB; threshold 45; the u16 color
+        # quantization already bounds the exact path).  HIGHEST costs
+        # ~3.8 ms/frame at 1M@1080p; RenderConfig.exact_color_accum
+        # restores it.  The carried transmittance multiplies the
+        # contracted (P, 3) result — one tiny op instead of a full
+        # (P, chunk) pass on the weights.
         img = img + transmit * jax.lax.dot_general(
             weight, colors, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=color_precision,
             preferred_element_type=jnp.float32)   # (P, 3)
         transmit = transmit * t_chunk
         saturated = jnp.max(transmit) < alpha_min
@@ -221,7 +226,10 @@ def rasterize_tiles(bins: TileBins, h: int, w: int, config: RenderConfig,
     kernel = functools.partial(
         _raster_kernel, chunk=chunk, tile_w=tw, tile_h=th, tiles_x=ntx,
         bs0=bs0, bs1=bs1, alpha_clamp=config.alpha_clamp,
-        alpha_min=config.alpha_min, bg=tuple(config.background))
+        alpha_min=config.alpha_min, bg=tuple(config.background),
+        color_precision=(jax.lax.Precision.HIGHEST
+                         if config.exact_color_accum
+                         else jax.lax.Precision.DEFAULT))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
