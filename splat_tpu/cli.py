@@ -31,7 +31,10 @@ def _add_render_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--fovy-deg", type=float, default=90.0)
     p.add_argument("--sh-degree", type=int, default=3)
     p.add_argument("--lowpass", type=float, default=0.3)
-    p.add_argument("--tile", type=int, default=32)
+    p.add_argument("--tile", type=int, default=32,
+                   help="tile width in pixels (and height unless --tile-y)")
+    p.add_argument("--tile-y", type=int, default=0,
+                   help="tile height in pixels (0 = square tiles)")
     p.add_argument("--dup-factor", default="4",
                    help="duplication-buffer capacity as a multiple of N; "
                         "fractional values are fine (~2.2 is the tuned "
@@ -88,7 +91,7 @@ def _config(args, scene=None, cam=None):
             raise SystemExit("--dup-factor auto needs a scene and pose")
         from splat_tpu.render.api import pair_stats
         base = RenderConfig(sh_degree=args.sh_degree, lowpass=args.lowpass,
-                            tile_px=args.tile,
+                            tile_px=args.tile, tile_py=args.tile_y,
                             background=_parse_vec(args.background, 3))
         stats = pair_stats(scene, cam, base)
         dup = stats["suggested_dup_factor"]
@@ -96,7 +99,8 @@ def _config(args, scene=None, cam=None):
               f"({stats['pairs_per_gaussian']:.2f}/gaussian) -> "
               f"max_dup_factor={dup}")
     return RenderConfig(sh_degree=args.sh_degree, lowpass=args.lowpass,
-                        tile_px=args.tile, max_dup_factor=float(dup),
+                        tile_px=args.tile, tile_py=args.tile_y,
+                        max_dup_factor=float(dup),
                         background=_parse_vec(args.background, 3))
 
 
