@@ -36,7 +36,12 @@ class RenderConfig:
       alpha_min: splats contributing less than this alpha are skipped
         (reference: src/pipelines.rs:140-143, 1/255).
       tile_px: tile width in pixels for the tile-binned rasterizer (and
-        the height too, unless tile_py is set).
+        the height too, unless tile_py is set).  32 is the measured
+        1080p sweet spot.  At 4K keep the tile grid + rank bits within
+        the 32-bit key budget for the fast expansion path: tile 64 at
+        3840x2160 with 1M gaussians runs 122 ms on v5e (pairs also drop
+        vs tile 32, whose 4K grid overflows the budget and takes the
+        XLA fallback).
       block_shape: (sublanes, lanes) layout of one tile's pixels inside the
         Pallas kernel; product must equal tile_w * tile_h.
       max_dup_factor: capacity of the (gaussian, tile) duplication buffer as
