@@ -104,6 +104,26 @@ def test_expand_auto_falls_back_on_huge_tile_grid():
     assert p >= 45.0, f"huge-grid fallback PSNR {p:.2f}"
 
 
+def test_full_32bit_key_order_trick():
+    """When tile+rank bits fill all 32, binning XORs the key space with
+    0x80000000 so SIGNED int32 sort order equals unsigned order.  Pin the
+    trick itself: for random (tile, rank) packs occupying the sign bit,
+    sorting the XORed keys as signed ints must order pairs by (tile,
+    rank) exactly, and rank extraction from the low bits is unaffected."""
+    rng = np.random.default_rng(0)
+    bits_rank = 20
+    tiles = rng.integers(0, 4082, size=4096, dtype=np.int64)   # 12 bits
+    ranks = rng.integers(0, 1 << bits_rank, size=4096, dtype=np.int64)
+    unsigned = (tiles << bits_rank) | ranks                    # 32 bits
+    keys = (unsigned & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    keys ^= np.int32(-(1 << 31))
+    order_signed = np.argsort(keys, kind="stable")
+    order_unsigned = np.argsort(unsigned, kind="stable")
+    np.testing.assert_array_equal(order_signed, order_unsigned)
+    # low rank bits survive the sign flip untouched
+    np.testing.assert_array_equal(keys & ((1 << bits_rank) - 1), ranks)
+
+
 def test_expand_empty_scene():
     """Camera looking away: zero visible pairs, all-sentinel keys."""
     scene = random_scene(128, seed=1)
