@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from splat_tpu.camera import Camera
 from splat_tpu.config import RenderConfig
