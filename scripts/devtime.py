@@ -96,8 +96,13 @@ def main():
 
     def frame(scene, c):
         if args.stage == "project":
+            # consume EVERY output: XLA DCEs unconsumed ones, understating
+            # the stage (same trap as partial sort-output micro-benchmarks)
             p = project_gaussians(scene, c, config)
-            return jnp.sum(p.center_px) + jnp.sum(p.color)
+            return (jnp.sum(p.center_px) + jnp.sum(p.color)
+                    + jnp.sum(p.conic) + jnp.sum(p.radius_px)
+                    + jnp.sum(p.depth) + jnp.sum(p.opacity)
+                    + jnp.sum(p.visible.astype(jnp.float32)))
         if args.stage == "bins":
             p = project_gaussians(scene, c, config)
             b = build_tile_bins(p, args.h, args.w, config)
