@@ -43,6 +43,8 @@ def main():
                     default="full")
     ap.add_argument("--nocull", action="store_true", default=None)
     ap.add_argument("--cull", dest="nocull", action="store_false")
+    ap.add_argument("--nosubtile", action="store_true",
+                    help="disable the per-pixel-group saturation exit")
     ap.add_argument("--psnr", action="store_true",
                     help="skip timing; render a deterministic fixture scene "
                          "through the COMPILED Mosaic kernel on the current "
@@ -90,7 +92,8 @@ def main():
     cam = st.Camera.create(h=args.h, w=args.w, position=pos, target=tgt)
     config = RenderConfig(tile_px=args.tile, tile_py=args.tiley,
                           chunk=args.chunk, max_dup_factor=args.dup,
-                          cull_pairs=(args.nocull is False))
+                          cull_pairs=(args.nocull is False),
+                          subtile_exit=not args.nosubtile)
 
     f_frames = args.frames
 

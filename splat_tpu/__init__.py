@@ -22,7 +22,7 @@ Public API::
 """
 
 from splat_tpu.config import RenderConfig
-from splat_tpu.scene import GaussianScene
+from splat_tpu.scene import DeviceScene, GaussianScene
 from splat_tpu.camera import Camera
 from splat_tpu.io.ply import load_ply, save_ply
 from splat_tpu.render.api import pair_stats, render, render_fn
@@ -34,6 +34,7 @@ __version__ = "0.1.0"
 __all__ = [
     "RenderConfig",
     "GaussianScene",
+    "DeviceScene",
     "Camera",
     "load_ply",
     "save_ply",

@@ -245,13 +245,7 @@ def cmd_info(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import dataclasses
-
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from splat_tpu.render.tiled import render_tiled
+    from splat_tpu.utils.benchmark import chained_bench
 
     if args.naive or args.scene:
         scene = _load(args)
@@ -259,38 +253,17 @@ def cmd_bench(args) -> int:
         import splat_tpu as st
         scene = st.random_scene(args.n, seed=0)
         print(f"synthetic scene: N={args.n}")
-    scene = scene.to_device()
     cam = _camera(args)
     config = _config(args, scene, cam)
-    frames = args.frames
-
-    def chained(scene, cam):
-        def step(carry, i):
-            c = dataclasses.replace(
-                cam, yaw=cam.yaw + 0.01 * i.astype(jnp.float32)
-                + carry * 1e-20)
-            img = render_tiled(scene, c, config)
-            return jnp.mean(img), jnp.mean(img)
-        return jax.lax.scan(step, jnp.float32(0.0), jnp.arange(frames))
-
-    f = jax.jit(chained)
-    t0 = time.time()
-    jax.device_get(f(scene, cam))
-    print(f"compile: {time.time() - t0:.1f}s")
-    t0 = time.time()
-    jax.device_get(f(scene, cam))
-    dt = (time.time() - t0) / frames
-    print(f"{frames} frames (device-chained): {dt * 1e3:.2f} ms/frame "
-          f"({1.0 / dt:.1f} FPS)")
-    _, stats = jax.jit(
-        lambda s, c: render_tiled(s, c, config, return_stats=True))(scene,
-                                                                    cam)
-    overflow = int(stats["overflow"])
-    per = int(stats["num_pairs"]) / max(scene.num_gaussians, 1)
-    print(f"pairs={int(stats['num_pairs'])} visible={int(stats['visible'])} "
-          f"overflow={overflow} pairs/gaussian={per:.2f} "
+    r = chained_bench(scene.pack_device(), cam, config, args.frames)
+    print(f"compile: {r['compile_s']:.1f}s")
+    print(f"{args.frames} frames (device-chained, yaw sweep): "
+          f"{r['ms_per_frame']:.2f} ms/frame ({r['fps']:.1f} FPS)")
+    per = r["num_pairs"] / max(scene.num_gaussians, 1)
+    print(f"pairs={r['num_pairs']} visible={r['visible']} "
+          f"overflow={r['overflow']} pairs/gaussian={per:.2f} "
           f"(suggested --dup-factor {max(1.25, round(per * 1.25, 2))})")
-    if overflow > 0:
+    if r["overflow"] > 0:
         print("WARNING: overflow > 0 — the timing above measures a "
               "truncated render; raise --dup-factor", file=sys.stderr)
     return 0

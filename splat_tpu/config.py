@@ -87,6 +87,15 @@ class RenderConfig:
     # the fallback (profiling / very large tile grids).
     expand_impl: str = "auto"
     background: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # Per-pixel-group saturation exit in the raster kernel: the tile's
+    # pixels are partitioned into 8x16 blocks, each with its own
+    # saturation flag, so a tile that mixes opaque surface with open
+    # background stops doing VPU work on the covered blocks while the
+    # background blocks keep compositing.  This is the trained-scene
+    # silhouette-tile fix (raster stage 37.4 -> ~17 ms at 1M@1080p on the
+    # surface scene); False restores the whole-tile exit.  Tiles not
+    # divisible into 8x16 blocks degrade to whole-tile automatically.
+    subtile_exit: bool = True
     # Color accumulation matmul precision in the raster kernel.  False
     # (default): one bf16 MXU pass with f32 accumulation — measured
     # 70.3 dB vs the oracle on-chip (threshold 45), ~3.8 ms/frame faster

@@ -20,10 +20,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from splat_tpu.camera import Camera, ndc_to_pixel
+from splat_tpu.camera import Camera
 from splat_tpu.config import RenderConfig
-from splat_tpu.ops.sh import eval_sh
-from splat_tpu.ops.transforms import compute_cov3d_packed, pack_cov3d
+from splat_tpu.ops.transforms import pack_cov3d
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -122,16 +121,72 @@ def ewa_project_packed(means, cov6, view, focal, lowpass: float):
     return a, b, c
 
 
+def _scene_cols(scene):
+    """Dense (N,) component streams of any scene type.
+
+    A DeviceScene (scene.py) already stores components as separate dense
+    leaves — its fields pass through untouched, so every HBM read in the
+    projection is a contiguous (N,) stream.  A GaussianScene is sliced
+    in-graph (strided column reads of (N, 3)/(N, 16, 3) arrays — correct
+    but layout-hostile; hot loops should feed pack_device() output).
+    """
+    if hasattr(scene, "mx"):
+        return ((scene.mx, scene.my, scene.mz),
+                (scene.qw, scene.qx, scene.qy, scene.qz),
+                (scene.sx, scene.sy, scene.sz),
+                jnp.asarray(scene.opacities), tuple(scene.sh))
+    m, q, s, sh = scene.means, scene.quats, scene.scales, scene.sh
+    shs = tuple(sh[:, k, c] for k in range(16) for c in range(3))
+    return ((m[:, 0], m[:, 1], m[:, 2]),
+            (q[:, 0], q[:, 1], q[:, 2], q[:, 3]),
+            (s[:, 0], s[:, 1], s[:, 2]),
+            # jnp.asarray: scenes may carry host (NumPy) leaves;
+            # downstream indexes with tracers.
+            jnp.asarray(scene.opacities), shs)
+
+
 def project_gaussians(scene, camera: Camera,
                       config: RenderConfig) -> ProjectedGaussians:
-    """All per-gaussian screen-space quantities for one frame, vectorized."""
+    """All per-gaussian screen-space quantities for one frame, vectorized.
+
+    Everything is fused multiply-adds over dense (N,) component columns
+    (see _scene_cols): no batched tiny matmuls, no strided intermediate
+    layouts.  The stacked (N, 2)/(N, 3) output fields are assembled once
+    at the end; inside a jit the consumers slice them straight back to
+    columns, which XLA folds away.
+    """
+    from splat_tpu.ops.sh import eval_sh_cols
+    from splat_tpu.ops.transforms import compute_cov6_cols
+
     view = camera.view_matrix()
     proj = camera.projection_matrix()
     _, _, focal = camera.htanfovxy_focal()
+    (mx, my, mz), q4, s3, opacity, shs = _scene_cols(scene)
 
-    cov6 = compute_cov3d_packed(scene.quats, scene.scales)
-    a, b, c = ewa_project_packed(scene.means, cov6, view, focal,
-                                 config.lowpass)
+    cov6 = compute_cov6_cols(q4, s3)
+
+    # Camera-space position, elementwise (view rows broadcast over N).
+    px = view[0, 0] * mx + view[0, 1] * my + view[0, 2] * mz + view[0, 3]
+    py = view[1, 0] * mx + view[1, 1] * my + view[1, 2] * mz + view[1, 3]
+    pz = view[2, 0] * mx + view[2, 1] * my + view[2, 2] * mz + view[2, 3]
+
+    # EWA 2D covariance (same math as ewa_project_packed: the reference's
+    # truncation discards the perspective-skew Jacobian entries, so only
+    # the first two view-rotation rows u, v reach the result).
+    xx, xy_, xz, yy, yz, zz = cov6
+    u = (view[0, 0], view[0, 1], view[0, 2])
+    v = (view[1, 0], view[1, 1], view[1, 2])
+
+    def quad(p, q):  # p^T Sigma q, elementwise over N
+        return (xx * (p[0] * q[0]) + yy * (p[1] * q[1]) + zz * (p[2] * q[2])
+                + xy_ * (p[0] * q[1] + p[1] * q[0])
+                + xz * (p[0] * q[2] + p[2] * q[0])
+                + yz * (p[1] * q[2] + p[2] * q[1]))
+
+    s2 = (focal / pz) ** 2
+    a = s2 * quad(u, u) + config.lowpass
+    b = s2 * quad(u, v)
+    c = s2 * quad(v, v) + config.lowpass
 
     det = a * c - b * b
     det_safe = jnp.where(det > 0, det, 1.0)
@@ -147,27 +202,23 @@ def project_gaussians(scene, camera: Camera,
     # |dx| > sqrt(Σxx · 2·ln(opacity/alpha_min)) has α < alpha_min and is
     # dropped by the kernel's own cutoff anyway.  This cuts (gaussian, tile)
     # pair counts at N-cost — the key scale-by-N lever for binning.
-    opacity = jnp.asarray(scene.opacities)
-    diag = jnp.maximum(jnp.stack([a, c], axis=-1), 0.0)        # (N,2)
     cut2 = jnp.asarray(config.sigma_cutoff, jnp.float32) ** 2
     if config.tight_radius:
         qmax = 2.0 * jnp.log(
             jnp.maximum(opacity / config.alpha_min, 1e-12))
-        cut2 = jnp.minimum(cut2, jnp.maximum(qmax, 0.0))[:, None]
-    radius = jnp.sqrt(cut2 * diag)                             # (N,2) px
+        cut2 = jnp.minimum(cut2, jnp.maximum(qmax, 0.0))
+    rx = jnp.sqrt(cut2 * jnp.maximum(a, 0.0))
+    ry = jnp.sqrt(cut2 * jnp.maximum(c, 0.0))
 
     # Clip-space center -> NDC -> pixel (reference src/pipelines.rs:37-48,
-    # pixel mapping notes/util.py:109-111).  Elementwise: the glm projection
-    # matrix is sparse, so x_clip = P00 x, y_clip = P11 y,
-    # w_clip = -z (P32 = -1) — no matmul needed.
-    pos_cam = _pos_cam(scene.means, view)
-    clip_x = proj[0, 0] * pos_cam[:, 0]
-    clip_y = proj[1, 1] * pos_cam[:, 1]
-    clip_w = -pos_cam[:, 2]
-    ndc = jnp.stack([clip_x, clip_y], axis=-1) / clip_w[:, None]
-    center_px = ndc_to_pixel(ndc, camera.w, camera.h)
+    # pixel mapping notes/util.py:109-111 == camera.ndc_to_pixel).
+    # Elementwise: the glm projection matrix is sparse, so
+    # x_clip = P00 x, y_clip = P11 y, w_clip = -z (P32 = -1).
+    clip_w = -pz
+    cx = (proj[0, 0] * px / clip_w + 1.0) * (camera.w / 2)
+    cy = (1.0 - proj[1, 1] * py / clip_w) * (camera.h / 2)
 
-    depth = -pos_cam[:, 2]                                     # view depth >0 in front
+    depth = -pz                                   # view depth >0 in front
 
     # View-dependent color: SH is evaluated from the ORBITED eye — a
     # deliberate deviation from the reference, which computes ray directions
@@ -177,29 +228,32 @@ def project_gaussians(scene, camera: Camera,
     # the physically-correct behavior; the oracle shares this convention and
     # tests/test_render_parity.py pins it at nonzero yaw.  See PARITY.md.
     eye = camera.eye()
-    raydir = scene.means - eye
-    raydir = raydir / jnp.maximum(
-        jnp.linalg.norm(raydir, axis=-1, keepdims=True), 1e-12)
-    color = eval_sh(scene.sh, raydir, config.sh_degree)
+    rdx = mx - eye[0]
+    rdy = my - eye[1]
+    rdz = mz - eye[2]
+    rinv = 1.0 / jnp.maximum(
+        jnp.sqrt(rdx * rdx + rdy * rdy + rdz * rdz), 1e-12)
+    col_r, col_g, col_b = eval_sh_cols(shs, rdx * rinv, rdy * rinv,
+                                       rdz * rinv, config.sh_degree)
 
     # Visibility: in front of near plane, positive-definite cov2d, bbox
     # overlapping the screen.  The reference has no culling (splats behind
     # the camera are clipped by euc); culling only removes zero-contribution
     # splats so parity is unaffected.
-    lo = center_px - radius
-    hi = center_px + radius
     visible = ((depth > camera.znear)
                & (det > 0)
-               & (hi[:, 0] > 0) & (lo[:, 0] < camera.w)
-               & (hi[:, 1] > 0) & (lo[:, 1] < camera.h)
-               & jnp.isfinite(center_px).all(axis=-1)
+               & (cx + rx > 0) & (cx - rx < camera.w)
+               & (cy + ry > 0) & (cy - ry < camera.h)
+               & jnp.isfinite(cx) & jnp.isfinite(cy)
                # peak α = min(clamp, opacity·e⁰) — below alpha_min the splat
                # can never pass the kernel's cutoff at any pixel (lossless)
                & (opacity >= config.alpha_min))
 
-    return ProjectedGaussians(depth=depth, center_px=center_px, conic=conic,
-                              radius_px=radius, color=color,
-                              # jnp.asarray: scenes may carry host (NumPy)
-                              # leaves; downstream indexes with tracers.
-                              opacity=jnp.asarray(scene.opacities),
+    return ProjectedGaussians(depth=depth,
+                              center_px=jnp.stack([cx, cy], axis=-1),
+                              conic=conic,
+                              radius_px=jnp.stack([rx, ry], axis=-1),
+                              color=jnp.stack([col_r, col_g, col_b],
+                                              axis=-1),
+                              opacity=opacity,
                               visible=visible)

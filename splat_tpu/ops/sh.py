@@ -71,6 +71,53 @@ def eval_sh(sh: jax.Array, dirs: jax.Array, degree: int) -> jax.Array:
     return color + 0.5
 
 
+def eval_sh_cols(shs, x, y, z, degree: int):
+    """Column form of eval_sh: 48 dense (N,) coefficient streams in,
+    (r, g, b) columns out.
+
+    shs[k * 3 + c] is coefficient k of channel c (the DeviceScene layout,
+    scene.py) — the hot projection path reads each coefficient as one
+    dense (N,) HBM stream instead of strided slices of an (N, 16, 3)
+    array.  x/y/z are the unit view-direction components.  Same band
+    polynomials and +0.5 shift as eval_sh.
+    """
+    if not 0 <= degree <= 3:
+        raise ValueError(f"degree must be in [0,3], got {degree}")
+
+    def band(k):
+        return shs[3 * k], shs[3 * k + 1], shs[3 * k + 2]
+
+    out = [SH_C0 * c for c in band(0)]
+    if degree >= 1:
+        for i, c in enumerate(band(1)):
+            out[i] = out[i] - SH_C1 * y * c
+        for i, c in enumerate(band(2)):
+            out[i] = out[i] + SH_C1 * z * c
+        for i, c in enumerate(band(3)):
+            out[i] = out[i] - SH_C1 * x * c
+    if degree >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        basis2 = (SH_C2[0] * xy, SH_C2[1] * yz,
+                  SH_C2[2] * (2.0 * zz - xx - yy),
+                  SH_C2[3] * xz, SH_C2[4] * (xx - yy))
+        for k, bk in enumerate(basis2):
+            for i, c in enumerate(band(4 + k)):
+                out[i] = out[i] + bk * c
+    if degree >= 3:
+        basis3 = (SH_C3[0] * y * (3.0 * xx - yy),
+                  SH_C3[1] * xy * z,
+                  SH_C3[2] * y * (4.0 * zz - xx - yy),
+                  SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+                  SH_C3[4] * x * (4.0 * zz - xx - yy),
+                  SH_C3[5] * z * (xx - yy),
+                  SH_C3[6] * x * (xx - 3.0 * yy))
+        for k, bk in enumerate(basis3):
+            for i, c in enumerate(band(9 + k)):
+                out[i] = out[i] + bk * c
+    return out[0] + 0.5, out[1] + 0.5, out[2] + 0.5
+
+
 def rgb_to_dc(rgb: jax.Array) -> jax.Array:
     """Inverse of the DC band: encode plain RGB into sh[...,0,:].
 

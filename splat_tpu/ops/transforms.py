@@ -73,6 +73,40 @@ def compute_cov3d_packed(quats: jax.Array, scales: jax.Array) -> jax.Array:
     return jnp.stack([xx, xy, xz, yy, yz, zz], axis=-1)
 
 
+def compute_cov6_cols(q, s):
+    """Column form of compute_cov3d_packed: component tuples in, 6 out.
+
+    q = (qw, qx, qy, qz), s = (sx, sy, sz), each a dense (N,) array;
+    returns (xx, xy, xz, yy, yz, zz) columns of R diag(s^2) R^T.  Same
+    math as the (N,4)/(N,3) entry points but with zero strided column
+    slices — the projection hot path feeds it straight from a
+    DeviceScene's component leaves (scene.py), keeping every HBM read a
+    dense (N,) stream.
+    """
+    qw, qx, qy, qz = q
+    sx, sy, sz = s
+    inv = 1.0 / jnp.maximum(
+        jnp.sqrt(qw * qw + qx * qx + qy * qy + qz * qz), 1e-12)
+    w, x, y, z = qw * inv, qx * inv, qy * inv, qz * inv
+    # rotation entries (same formulas as quat_to_rotmat), columns scaled
+    m00 = (1 - 2 * (y * y + z * z)) * sx
+    m01 = (2 * (x * y - w * z)) * sy
+    m02 = (2 * (x * z + w * y)) * sz
+    m10 = (2 * (x * y + w * z)) * sx
+    m11 = (1 - 2 * (x * x + z * z)) * sy
+    m12 = (2 * (y * z - w * x)) * sz
+    m20 = (2 * (x * z - w * y)) * sx
+    m21 = (2 * (y * z + w * x)) * sy
+    m22 = (1 - 2 * (x * x + y * y)) * sz
+    xx = m00 * m00 + m01 * m01 + m02 * m02
+    xy = m00 * m10 + m01 * m11 + m02 * m12
+    xz = m00 * m20 + m01 * m21 + m02 * m22
+    yy = m10 * m10 + m11 * m11 + m12 * m12
+    yz = m10 * m20 + m11 * m21 + m12 * m22
+    zz = m20 * m20 + m21 * m21 + m22 * m22
+    return xx, xy, xz, yy, yz, zz
+
+
 def pack_cov3d(cov: jax.Array) -> jax.Array:
     """(N,3,3) symmetric -> (N,6) compact (xx, xy, xz, yy, yz, zz)."""
     return jnp.stack([cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2],

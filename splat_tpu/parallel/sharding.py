@@ -208,7 +208,8 @@ def _render_slab_tiled(proj, row0, h_local: int, w: int,
     visible = proj.visible & (hi_y > 0) & (lo_y < h_local)
     proj2 = _dc.replace(proj, center_px=center, visible=visible)
     bins = build_tile_bins(proj2, h_local, w, config)
-    return rasterize_tiles(bins, h_local, w, config, interpret=interpret)
+    return (rasterize_tiles(bins, h_local, w, config, interpret=interpret),
+            bins.overflow)
 
 
 def render_sharded_tiled(scene, camera: Camera, mesh: Mesh,
@@ -230,11 +231,17 @@ def render_sharded_tiled(scene, camera: Camera, mesh: Mesh,
       ``min(1, 4/n_g)`` that is ~4/n_g of the all-gather payload, so the
       collective cost stays flat as the mesh grows instead of linear.
       Records beyond ``cap`` for one (src, dst) pair are dropped
-      deepest-last and COUNTED (returned as ``overflow`` with
-      return_stats=True) — same no-silent-truncation contract as binning.
+      deepest-last and COUNTED — same no-silent-truncation contract as
+      binning.
     route="gather": replicate all records (``all_gather``) — simpler,
       cheaper below ~2 chips or for slab-spanning splat distributions;
-      never overflows.
+      never overflows on routing.
+
+    Returns ``(image, overflow)`` where overflow is the psum of ROUTING
+    overflow (slab cap too small) and per-slab BINNING overflow
+    (``max_dup_factor`` too small) — zero means no truncation anywhere.
+    Callers that do not audit the count should use
+    :func:`render_sharded_tiled_checked`.
 
     The all-gather crossover: traffic ratio a2a/gather = cap * n_g / N,
     so a2a wins whenever a typical splat's bbox overlaps fewer than
@@ -261,10 +268,10 @@ def render_sharded_tiled(scene, camera: Camera, mesh: Mesh,
         else:
             proj, overflow = _route_records_by_slab(
                 proj_local, n_g, h_local, slab_cap_factor)
-        slab = _render_slab_tiled(proj, g_idx * h_local, h_local, w,
-                                  config, interpret)
+        slab, bin_ov = _render_slab_tiled(proj, g_idx * h_local, h_local, w,
+                                          config, interpret)
         img = jax.lax.all_gather(slab, "g", axis=0, tiled=True)
-        return img, jax.lax.psum(overflow, "g")
+        return img, jax.lax.psum(overflow + bin_ov, "g")
 
     fn_mapped = jax.shard_map(
         fn, mesh=mesh,
@@ -308,10 +315,10 @@ def render_batch_sharded_tiled(scene, cameras: Camera, mesh: Mesh,
             else:
                 proj, overflow = _route_records_by_slab(
                     proj_local, n_g, h_local, slab_cap_factor)
-            slab = _render_slab_tiled(proj, g_idx * h_local, h_local, w,
-                                      config, interpret)
+            slab, bin_ov = _render_slab_tiled(proj, g_idx * h_local,
+                                              h_local, w, config, interpret)
             img = jax.lax.all_gather(slab, "g", axis=0, tiled=True)
-            return carry + overflow, img
+            return carry + overflow + bin_ov, img
 
         ov, imgs = jax.lax.scan(one, jnp.int32(0), cams_local)
         return imgs, jax.lax.psum(jax.lax.psum(ov, "g"), "d")
@@ -323,6 +330,45 @@ def render_batch_sharded_tiled(scene, cameras: Camera, mesh: Mesh,
         out_specs=(P("d"), P()),
         check_vma=False)
     return fn_mapped(scene, cameras)
+
+
+def render_sharded_tiled_checked(scene, camera: Camera, mesh: Mesh,
+                                 config: RenderConfig | None = None,
+                                 route: str = "a2a",
+                                 slab_cap_factor: float | None = None):
+    """render_sharded_tiled that RAISES on any truncation.
+
+    The multi-chip twin of render.tiled.render_tiled_checked: a caller who
+    ignores the overflow count would get a silently truncated image, which
+    the capacity design forbids (config.py contract).  Costs one device
+    sync per frame; hot loops should call render_sharded_tiled and audit
+    the returned count themselves.
+    """
+    img, overflow = render_sharded_tiled(
+        scene, camera, mesh, config, route=route,
+        slab_cap_factor=slab_cap_factor)
+    _raise_on_overflow(int(overflow))
+    return img
+
+
+def render_batch_sharded_tiled_checked(scene, cameras: Camera, mesh: Mesh,
+                                       config: RenderConfig | None = None,
+                                       route: str = "a2a",
+                                       slab_cap_factor: float | None = None):
+    """render_batch_sharded_tiled that RAISES on any truncation."""
+    imgs, overflow = render_batch_sharded_tiled(
+        scene, cameras, mesh, config, route=route,
+        slab_cap_factor=slab_cap_factor)
+    _raise_on_overflow(int(overflow))
+    return imgs
+
+
+def _raise_on_overflow(overflow: int) -> None:
+    if overflow > 0:
+        raise RuntimeError(
+            f"sharded render truncated: {overflow} records/pairs dropped "
+            f"(routing slab cap and/or tile duplication buffer too small); "
+            f"raise slab_cap_factor and/or RenderConfig.max_dup_factor")
 
 
 def _route_records_by_slab(proj: ProjectedGaussians, n_g: int,

@@ -53,29 +53,20 @@ def pair_stats(scene, camera: Camera, config: RenderConfig | None = None):
     1.25) — feed the suggestion into ``RenderConfig.max_dup_factor`` to
     shrink every K-sized binning op; the overflow stats on the public
     paths will catch a pose that outgrows it.
-    """
-    import jax.numpy as jnp
 
+    The count comes from the binning stage's own span machinery
+    (binning.count_pairs — same ceil-quantized radii), so the suggestion
+    can never under-provision relative to what binning actually produces.
+    """
     from splat_tpu.ops.projection import project_gaussians
+    from splat_tpu.render.binning import count_pairs
 
     config = config or RenderConfig()
 
     @jax.jit
     def f(scene, camera):
         proj = project_gaussians(scene, camera, config)
-        tpx, tpy = config.tile_w, config.tile_h
-        ntx = -(-camera.w // tpx)
-        nty = -(-camera.h // tpy)
-        cx, cy = proj.center_px[:, 0], proj.center_px[:, 1]
-        rx, ry = proj.radius_px[:, 0], proj.radius_px[:, 1]
-        tx0 = jnp.clip(jnp.floor((cx - rx) / tpx), 0, ntx - 1)
-        tx1 = jnp.clip(jnp.floor((cx + rx) / tpx), 0, ntx - 1)
-        ty0 = jnp.clip(jnp.floor((cy - ry) / tpy), 0, nty - 1)
-        ty1 = jnp.clip(jnp.floor((cy + ry) / tpy), 0, nty - 1)
-        counts = jnp.where(proj.visible,
-                           (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
-        return (jnp.sum(proj.visible.astype(jnp.int32)),
-                jnp.sum(counts).astype(jnp.int32))
+        return count_pairs(proj, camera.h, camera.w, config)
 
     visible, pairs = (int(x) for x in jax.device_get(f(scene, camera)))
     n = scene.num_gaussians

@@ -90,6 +90,93 @@ FEATURE_DIM = 8
 
 _U16 = 65535.0
 
+# 15-bit 1/8-px radius fields saturate at 4095.875 px.  A saturated field
+# is a SENTINEL meaning "covers everything along this axis": the span
+# covers the full tile grid and the kernel's bbox test is disabled (the
+# half-extent decodes to +inf).  Without the sentinel, a >4096-px splat
+# (screen-filling at 4K, or a near-camera fly-through) would have its tile
+# span and bbox silently truncated at the field maximum, dropping its
+# contribution to pixels far from center.
+_R15_MAX = 32767
+
+
+def quantize_radius_bits(rx, ry, visible):
+    """Pack bbox half-extents + visibility into one int32 per gaussian.
+
+    Radii are CEIL-quantized to 1/8-px units (15 bits each): the quantized
+    value is >= the exact radius, so the tile span derived from it always
+    covers every pixel the kernel's (equally quantized) bbox test can
+    accept — and pair-count estimates from these bits (count_pairs) match
+    the binning stage exactly.  Fields that would exceed 15 bits clamp to
+    the _R15_MAX saturation sentinel.  Bit 30 carries visibility.
+    """
+    rxq = jnp.clip(jnp.ceil(rx * 8.0), 0.0, float(_R15_MAX)).astype(
+        jnp.int32)
+    ryq = jnp.clip(jnp.ceil(ry * 8.0), 0.0, float(_R15_MAX)).astype(
+        jnp.int32)
+    return rxq | (ryq << 15) | (visible.astype(jnp.int32) << 30)
+
+
+def decode_radius_bits(bits):
+    """Inverse of quantize_radius_bits: (rx, ry, visible).
+
+    Saturated fields decode to +inf, which makes the span math below
+    cover the whole tile grid (floor/clip of -inf/+inf) and the kernel's
+    squared-radius bbox compare always pass — no extra branches anywhere.
+    """
+    rxq = bits & 0x7FFF
+    ryq = (bits >> 15) & 0x7FFF
+    rx = jnp.where(rxq == _R15_MAX, jnp.inf,
+                   rxq.astype(jnp.float32) * 0.125)
+    ry = jnp.where(ryq == _R15_MAX, jnp.inf,
+                   ryq.astype(jnp.float32) * 0.125)
+    vis = ((bits >> 30) & 1).astype(jnp.bool_)
+    return rx, ry, vis
+
+
+def tile_spans(cx, cy, rbits, tpx: int, tpy: int, ntx: int, nty: int):
+    """Tile-rect spans + pair counts from quantized radius bits.
+
+    The single source of truth for the (gaussian, tile) pair geometry:
+    build_tile_bins uses it post-gather and count_pairs pre-gather, so
+    capacity suggestions match the real binning counts exactly.
+    Invisible gaussians may carry NaN centers, so every derived field is
+    gated on the visibility bit.
+    """
+    rx, ry, vis = decode_radius_bits(rbits)
+    tx0 = jnp.where(vis, jnp.clip(
+        jnp.floor((cx - rx) / tpx), 0, ntx - 1).astype(jnp.int32), 0)
+    tx1 = jnp.where(vis, jnp.clip(
+        jnp.floor((cx + rx) / tpx), 0, ntx - 1).astype(jnp.int32), 0)
+    ty0 = jnp.where(vis, jnp.clip(
+        jnp.floor((cy - ry) / tpy), 0, nty - 1).astype(jnp.int32), 0)
+    ty1 = jnp.where(vis, jnp.clip(
+        jnp.floor((cy + ry) / tpy), 0, nty - 1).astype(jnp.int32), 0)
+    sw = tx1 - tx0 + 1
+    counts = jnp.where(vis, sw * (ty1 - ty0 + 1), 0)
+    return tx0, ty0, sw, counts
+
+
+def count_pairs(proj: ProjectedGaussians, h: int, w: int,
+                config: RenderConfig):
+    """Exact (pre-cull) pair count the binning stage will produce.
+
+    Shares tile_spans/quantize_radius_bits with build_tile_bins, so a
+    capacity sized from this count can never under-provision (the dropped
+    round-2 implementation used raw f32 radii and could).  With
+    config.cull_pairs the kernel-walked count can be lower, but capacity
+    (and overflow) are pre-cull quantities either way.
+    Returns (visible, num_pairs) device scalars.
+    """
+    rbits = quantize_radius_bits(proj.radius_px[:, 0], proj.radius_px[:, 1],
+                                 proj.visible)
+    _, _, _, counts = tile_spans(
+        proj.center_px[:, 0], proj.center_px[:, 1], rbits,
+        config.tile_w, config.tile_h,
+        -(-w // config.tile_w), -(-h // config.tile_h))
+    return (jnp.sum(proj.visible.astype(jnp.int32)),
+            jnp.sum(counts).astype(jnp.int32))
+
 
 def _pack_u16(lo, hi, scale_lo: float, scale_hi: float):
     """Two non-negative floats -> one int32 (lo | hi << 16), rounded."""
@@ -192,28 +279,12 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
                   jnp.clip(proj.color[:, 1], 0.0, 1.0), _U16, _U16),
         _pack_u16(jnp.clip(proj.color[:, 2], 0.0, 1.0),
                   jnp.asarray(proj.opacity), _U16, _U16),
-        (jnp.clip(jnp.round(rx * 8.0), 0.0, 32767.0).astype(jnp.int32)
-         | (jnp.clip(jnp.round(ry * 8.0), 0.0, 32767.0).astype(jnp.int32)
-            << 15)
-         | (proj.visible.astype(jnp.int32) << 30)),
+        quantize_radius_bits(rx, ry, proj.visible),
     ]), order, axis=1)                                          # (8, N)
     cx_d = _bits_f32(feats_d[0])
     cy_d = _bits_f32(feats_d[1])
-    rx_d = (feats_d[7] & 0x7FFF).astype(jnp.float32) * 0.125
-    ry_d = ((feats_d[7] >> 15) & 0x7FFF).astype(jnp.float32) * 0.125
-    vis_d = ((feats_d[7] >> 30) & 1).astype(jnp.bool_)
-    # Invisible gaussians may carry NaN centers: their float->int span
-    # casts below are garbage (but finite), so gate every derived field.
-    tx0_d = jnp.where(vis_d, jnp.clip(
-        jnp.floor((cx_d - rx_d) / tpx), 0, ntx - 1).astype(jnp.int32), 0)
-    tx1_d = jnp.where(vis_d, jnp.clip(
-        jnp.floor((cx_d + rx_d) / tpx), 0, ntx - 1).astype(jnp.int32), 0)
-    ty0_d = jnp.where(vis_d, jnp.clip(
-        jnp.floor((cy_d - ry_d) / tpy), 0, nty - 1).astype(jnp.int32), 0)
-    ty1_d = jnp.where(vis_d, jnp.clip(
-        jnp.floor((cy_d + ry_d) / tpy), 0, nty - 1).astype(jnp.int32), 0)
-    sw_d = tx1_d - tx0_d + 1
-    counts = jnp.where(vis_d, sw_d * (ty1_d - ty0_d + 1), 0)
+    tx0_d, ty0_d, sw_d, counts = tile_spans(cx_d, cy_d, feats_d[7],
+                                            tpx, tpy, ntx, nty)
 
     cum = jnp.cumsum(counts)
     total = cum[-1]

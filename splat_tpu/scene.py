@@ -131,6 +131,68 @@ class GaussianScene:
         calls reuse the resident buffers instead of re-uploading)."""
         return jax.tree.map(lambda a: jax.device_put(a, device), self)
 
+    def pack_device(self, device=None) -> "DeviceScene":
+        """Transpose to the feature-major DeviceScene layout and pin it.
+
+        The hot render path wants every per-gaussian quantity as one dense
+        (N,) HBM stream; (N, 3)/(N, 4)/(N, 16, 3) arrays force strided
+        column reads and tiled-layout padding on TPU (the round-2 frame
+        spent ~6.3 ms of its 6.7 ms projection stage on exactly that).
+        The transpose happens ONCE here, on the host when the leaves are
+        NumPy (contiguous memcpy per component), then one device_put.
+        """
+        host = not isinstance(self.means, jax.Array)
+        col = (lambda a: np.ascontiguousarray(a)) if host else (lambda a: a)
+        m, q, s = self.means, self.quats, self.scales
+        cols = DeviceScene(
+            mx=col(m[:, 0]), my=col(m[:, 1]), mz=col(m[:, 2]),
+            qw=col(q[:, 0]), qx=col(q[:, 1]), qy=col(q[:, 2]),
+            qz=col(q[:, 3]),
+            sx=col(s[:, 0]), sy=col(s[:, 1]), sz=col(s[:, 2]),
+            opacities=self.opacities,
+            sh=tuple(col(self.sh[:, k, c])
+                     for k in range(16) for c in range(3)),
+        )
+        return jax.tree.map(lambda a: jax.device_put(a, device), cols)
+
     def to_numpy(self) -> dict[str, np.ndarray]:
         return {f.name: np.asarray(getattr(self, f.name))
                 for f in dataclasses.fields(self)}
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["mx", "my", "mz", "qw", "qx", "qy", "qz",
+                      "sx", "sy", "sz", "opacities", "sh"],
+         meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class DeviceScene:
+    """Feature-major scene: one dense (N,) device array per component.
+
+    The TPU-native twin of GaussianScene for render hot loops — every
+    projection input is a contiguous (N,) stream (dense (8, 128)-tiled
+    layout, no padding, no strided column slices).  Produced by
+    :meth:`GaussianScene.pack_device`; consumed structurally by
+    ``ops.projection._scene_cols``.  ``sh`` is a 48-tuple of (N,) leaves,
+    coefficient-major with interleaved RGB: ``sh[3 * k + c]`` is
+    coefficient k of channel c (same ordering as GaussianScene.sh).
+    """
+
+    mx: jax.Array
+    my: jax.Array
+    mz: jax.Array
+    qw: jax.Array
+    qx: jax.Array
+    qy: jax.Array
+    qz: jax.Array
+    sx: jax.Array
+    sy: jax.Array
+    sz: jax.Array
+    opacities: jax.Array
+    sh: tuple
+
+    @property
+    def num_gaussians(self) -> int:
+        return self.mx.shape[0]
+
+    def __len__(self) -> int:
+        return self.num_gaussians

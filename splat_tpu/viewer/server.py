@@ -37,13 +37,23 @@ async function tick() {
   if (dirty && !busy) {
     busy = true; dirty = false; t0 = performance.now();
     const q = `yaw=${yaw}&pitch=${pitch}&dist=${dist}&t=${Date.now()}`;
-    img.src = '/frame.png?' + q;
-    await img.decode().catch(()=>{});
+    let overflow = 0;
+    try {
+      const r = await fetch('/frame.png?' + q);
+      overflow = parseInt(r.headers.get('X-Splat-Overflow') || '0');
+      const url = URL.createObjectURL(await r.blob());
+      img.src = url;
+      await img.decode().catch(()=>{});
+      URL.revokeObjectURL(url);
+    } catch (e) {}
     const ms = (performance.now() - t0).toFixed(0);
     hud.textContent =
       `yaw ${(yaw*180/Math.PI).toFixed(1)}°  pitch ${(pitch*180/Math.PI).toFixed(1)}°` +
       `  dist x${dist.toFixed(2)}  frame ${ms} ms\\n` +
-      `arrows: orbit (±10°)   drag: orbit   wheel: dolly   R: reset`;
+      `arrows: orbit (±10°)   drag: orbit   wheel: dolly   R: reset` +
+      (overflow > 0 ? `\\nWARNING: ${overflow} pairs dropped — ` +
+                      `frame truncated; restart with a larger --dup-factor`
+                    : '');
     busy = false;
   }
   requestAnimationFrame(tick);
@@ -79,24 +89,38 @@ def serve(scene, camera, config=None, *, host: str = "127.0.0.1",
     """Serve the interactive viewer (blocking).  Ctrl-C to stop."""
     import jax
 
-    from splat_tpu.render.api import render_fn
+    from splat_tpu.render.api import render_fn, resolve_method
     from splat_tpu.utils.image import to_uint8
 
-    f = render_fn(method, config)
-    scene = scene.to_device()
+    # The tiled path renders with stats so duplication-buffer overflow is
+    # surfaced in the HUD — the viewer must not be the one public render
+    # surface that can truncate silently (config.py contract).
+    m = resolve_method(method, scene)
+    if m == "tiled":
+        from splat_tpu.render.tiled import render_tiled
+
+        f = jax.jit(
+            lambda s, c: render_tiled(s, c, config, return_stats=True))
+    else:
+        f_plain = render_fn(m, config)
+        f = lambda s, c: (f_plain(s, c), None)
+    scene = scene.pack_device()
     lock = threading.Lock()
     base_pos = np.asarray(jax.device_get(camera.position))
     target = np.asarray(jax.device_get(camera.target))
 
-    def render_pose(yaw: float, pitch: float, dist: float) -> bytes:
+    def render_pose(yaw: float, pitch: float,
+                    dist: float) -> tuple[bytes, int]:
         cam = camera.with_pose(
             yaw=yaw, pitch=pitch,
             position=target + (base_pos - target) * dist)
         with lock:
-            img = np.asarray(f(scene, cam))
+            img, stats = f(scene, cam)
+            overflow = int(stats["overflow"]) if stats is not None else 0
+            img = np.asarray(img)
         buf = io.BytesIO()
         _png_to(buf, img)
-        return buf.getvalue()
+        return buf.getvalue(), overflow
 
     def _png_to(fobj, img):
         import struct
@@ -137,8 +161,9 @@ def serve(scene, camera, config=None, *, host: str = "127.0.0.1",
                 q = parse_qs(u.query)
                 get = lambda k, d: float(q.get(k, [d])[0])
                 try:
-                    png = render_pose(get("yaw", 0.0), get("pitch", 0.0),
-                                      get("dist", 1.0))
+                    png, overflow = render_pose(
+                        get("yaw", 0.0), get("pitch", 0.0),
+                        get("dist", 1.0))
                 except Exception as e:  # surface render errors to the client
                     msg = f"render error: {e}".encode()
                     self.send_response(500)
@@ -149,6 +174,7 @@ def serve(scene, camera, config=None, *, host: str = "127.0.0.1",
                 self.send_response(200)
                 self.send_header("Content-Type", "image/png")
                 self.send_header("Content-Length", str(len(png)))
+                self.send_header("X-Splat-Overflow", str(overflow))
                 self.send_header("Cache-Control", "no-store")
                 self.end_headers()
                 self.wfile.write(png)

@@ -56,6 +56,40 @@ def test_cov3d_identity_quat_is_diag():
     np.testing.assert_allclose(got[0], np.diag([0.01, 0.04, 0.09]), atol=1e-7)
 
 
+def test_cov6_cols_matches_packed():
+    """The column form feeding DeviceScene must agree with the (N,4)/(N,3)
+    entry point."""
+    from splat_tpu.ops.transforms import compute_cov3d_packed, \
+        compute_cov6_cols
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=(64, 4)).astype(np.float32)
+    s = rng.uniform(0.01, 0.5, size=(64, 3)).astype(np.float32)
+    want = np.asarray(compute_cov3d_packed(jnp.asarray(q), jnp.asarray(s)))
+    got = np.stack([np.asarray(c) for c in compute_cov6_cols(
+        tuple(jnp.asarray(q[:, i]) for i in range(4)),
+        tuple(jnp.asarray(s[:, i]) for i in range(3)))], axis=-1)
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-7)
+
+
+def test_eval_sh_cols_matches_eval_sh():
+    from splat_tpu.ops.sh import eval_sh_cols
+    rng = np.random.default_rng(6)
+    sh = rng.normal(size=(64, 16, 3)).astype(np.float32)
+    dirs = rng.normal(size=(64, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    shs = tuple(jnp.asarray(sh[:, k, c])
+                for k in range(16) for c in range(3))
+    for degree in range(4):
+        want = np.asarray(eval_sh(jnp.asarray(sh), jnp.asarray(dirs),
+                                  degree))
+        r, g, b = eval_sh_cols(shs, jnp.asarray(dirs[:, 0]),
+                               jnp.asarray(dirs[:, 1]),
+                               jnp.asarray(dirs[:, 2]), degree)
+        got = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)],
+                       axis=-1)
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6), degree
+
+
 def test_cov3d_pack_roundtrip():
     rng = np.random.default_rng(2)
     q = rng.normal(size=(8, 4)).astype(np.float32)

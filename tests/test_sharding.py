@@ -96,3 +96,41 @@ def test_render_sharded_tiled_a2a_overflow_reported():
                                        RenderConfig(chunk=128),
                                        slab_cap_factor=0.03)
     assert int(overflow) > 0
+
+
+def test_render_sharded_tiled_checked():
+    """The checked wrapper mirrors render_tiled_checked: clean frames pass
+    through, any routing/binning truncation raises instead of returning a
+    silently cropped image (round-2 review gap)."""
+    from splat_tpu.parallel.sharding import render_sharded_tiled_checked
+    mesh = make_mesh(n_data=1, n_gaussian=8)
+    cam = Camera.create(h=64, w=64, position=(0.0, 0.0, 3.0))
+    ok_scene = random_scene(256, seed=21, extent=2.0,
+                            scale_range=(0.02, 0.1))
+    img = np.asarray(render_sharded_tiled_checked(
+        ok_scene, cam, mesh, RenderConfig(chunk=128)))
+    assert img.shape == (64, 64, 3)
+    big_scene = random_scene(8192, seed=23, extent=1.0,
+                             scale_range=(0.1, 0.3))
+    with pytest.raises(RuntimeError, match="truncated"):
+        render_sharded_tiled_checked(big_scene, cam, mesh,
+                                     RenderConfig(chunk=128),
+                                     slab_cap_factor=0.03)
+
+
+def test_render_batch_sharded_tiled_checked_binning_overflow():
+    """Binning overflow inside a slab must surface through the sharded
+    batch path's overflow count and trip the checked wrapper."""
+    from splat_tpu.parallel.sharding import (
+        render_batch_sharded_tiled, render_batch_sharded_tiled_checked)
+    scene = random_scene(4096, seed=4, extent=0.5, scale_range=(0.3, 0.8))
+    cam = Camera.create(h=64, w=64, position=(0.0, 0.0, 2.0))
+    cams = orbit_trajectory(cam, num_frames=2)
+    mesh = make_mesh(n_data=2, n_gaussian=4)
+    config = RenderConfig(chunk=128, max_dup_factor=1)
+    _, overflow = render_batch_sharded_tiled(scene, cams, mesh, config,
+                                             route="gather")
+    assert int(overflow) > 0
+    with pytest.raises(RuntimeError, match="truncated"):
+        render_batch_sharded_tiled_checked(scene, cams, mesh, config,
+                                           route="gather")

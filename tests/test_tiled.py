@@ -187,3 +187,69 @@ class TestTiledRender:
                             target=(0.0, 0.0, 100.0))  # looking away
         img = np.asarray(render_tiled(scene, cam, _cfg(), interpret=True))
         assert np.allclose(img, 0.0)
+
+    def test_packed_device_scene_matches(self, small_random_scene):
+        """pack_device (feature-major DeviceScene) is a pure layout
+        change; the rendered image must be identical."""
+        cam = Camera.create(h=96, w=160, position=(0.0, 0.0, 4.0))
+        a = np.asarray(render_tiled(small_random_scene, cam, _cfg(),
+                                    interpret=True))
+        b = np.asarray(render_tiled(small_random_scene.pack_device(), cam,
+                                    _cfg(), interpret=True))
+        np.testing.assert_array_equal(a, b)
+
+    def test_subtile_exit_matches_whole_tile(self, small_random_scene):
+        """The per-pixel-group saturation exit is a pure scheduling
+        change: identical front-to-back math on disjoint pixel sets, so
+        the image must match the whole-tile-exit kernel exactly."""
+        cam = Camera.create(h=96, w=160, position=(0.0, 0.0, 4.0))
+        a = np.asarray(render_tiled(small_random_scene, cam,
+                                    _cfg(subtile_exit=True),
+                                    interpret=True))
+        b = np.asarray(render_tiled(small_random_scene, cam,
+                                    _cfg(subtile_exit=False),
+                                    interpret=True))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_radius_sentinel_screen_filling_splat(self):
+        """A splat whose bbox half-extent exceeds the 15-bit 1/8-px field
+        (4095.875 px) must still cover the whole screen: the saturated
+        field is a covers-everything sentinel (full tile-grid span in
+        binning, bbox test disabled in the kernel).  Pre-round-3 code
+        silently truncated both (ADVICE r2)."""
+        from splat_tpu.ops.sh import rgb_to_dc
+        from splat_tpu.scene import GaussianScene
+
+        sh = np.zeros((1, 16, 3), np.float32)
+        sh[0, 0] = np.asarray(rgb_to_dc(np.array([0.9, 0.2, 0.1])))
+        scene = GaussianScene.create(
+            means=np.zeros((1, 3), np.float32),
+            quats=np.array([[1.0, 0, 0, 0]], np.float32),
+            scales=np.full((1, 3), 20.0, np.float32),
+            opacities=np.array([0.9], np.float32),
+            sh=sh)
+        cam = Camera.create(h=64, w=64, position=(0.0, 0.0, 0.3))
+        proj = project_gaussians(scene, cam, _cfg())
+        assert float(np.asarray(proj.radius_px).max()) > 4096.0
+        bins = build_tile_bins(proj, 64, 64, _cfg())
+        # sentinel span: the single splat lands in EVERY tile
+        assert int(bins.num_pairs) == bins.tiles_x * bins.tiles_y
+        tiled = np.asarray(render_tiled(scene, cam, _cfg(),
+                                        interpret=True))
+        dense = np.asarray(render_dense(scene, cam, _cfg()))
+        assert float(tiled.min()) > 0.0  # covers every pixel
+        assert psnr(tiled, dense) >= 45.0
+
+    def test_pair_stats_matches_binning_exactly(self, small_random_scene):
+        """--dup-factor auto sizing must agree with what binning actually
+        produces (shared span machinery; ADVICE r2 flagged the drifting
+        twin that used raw f32 radii)."""
+        from splat_tpu.render.api import pair_stats
+
+        cam = Camera.create(h=96, w=160, position=(0.0, 0.0, 4.0))
+        config = _cfg()
+        stats = pair_stats(small_random_scene, cam, config)
+        _, full = render_tiled(small_random_scene, cam, config,
+                               interpret=True, return_stats=True)
+        assert stats["num_pairs"] == int(full["num_pairs"])
+        assert stats["visible"] == int(full["visible"])
