@@ -43,14 +43,28 @@ def main():
                     default="full")
     ap.add_argument("--nocull", action="store_true", default=None)
     ap.add_argument("--cull", dest="nocull", action="store_false")
-    ap.add_argument("--nosubtile", action="store_true",
-                    help="disable the per-pixel-group saturation exit")
+    ap.add_argument("--subtile", action="store_true",
+                    help="enable the per-pixel-group saturation exit "
+                         "(heavy tiles; default off pending a winning "
+                         "implementation)")
+    ap.add_argument("--mxutr", action="store_true",
+                    help="transmittance prefix via MXU triangular cumsum")
+    ap.add_argument("--packed", action="store_true",
+                    help="use the feature-major DeviceScene "
+                         "(scene.pack_device()) instead of GaussianScene")
     ap.add_argument("--psnr", action="store_true",
                     help="skip timing; render a deterministic fixture scene "
                          "through the COMPILED Mosaic kernel on the current "
                          "backend and report PSNR vs the NumPy oracle "
                          "(BASELINE.md ladder item 2: 800x600 full-frame "
                          "parity)")
+    ap.add_argument("--psnr-sweep", action="store_true",
+                    help="like --psnr but over EVERY non-default Mosaic "
+                         "path (xla expansion, tile 64, rectangular tile, "
+                         "cull, exact accum, forced grouped exit, 1080p "
+                         "operating point) — interpret-mode CPU tests "
+                         "cannot catch compiled-Mosaic-only regressions "
+                         "(CLAUDE.md rules 7-8)")
     args = ap.parse_args()
 
     import jax
@@ -62,38 +76,71 @@ def main():
     from splat_tpu.ops.projection import project_gaussians
     from splat_tpu.render.binning import build_tile_bins
 
-    if args.psnr:
+    if args.psnr or args.psnr_sweep:
         from splat_tpu.render.oracle import render_oracle
         from splat_tpu.render.tiled import render_tiled_checked
         from splat_tpu.utils.image import psnr
-        scene = st.surface_scene(5000, seed=11)
-        cam = st.Camera.create(h=600, w=800, position=(0.0, -1.0, 3.5))
-        config = RenderConfig(tile_px=args.tile, tile_py=args.tiley,
-                              chunk=args.chunk, max_dup_factor=args.dup)
-        img = np.asarray(render_tiled_checked(scene.to_device(), cam,
-                                              config))
-        gold = render_oracle(scene, cam, config)
-        p = psnr(img, gold)
-        print(f"on-device parity: backend={jax.default_backend()} "
-              f"surface_scene(5000) 800x600 PSNR={p:.2f} dB "
-              f"(threshold 45)")
-        if p < 45.0:
+
+        golds: dict = {}
+        scenes: dict = {}
+
+        def check(label, config, n=5000, h=600, w=800):
+            key = (n, h, w)
+            if key not in scenes:
+                scenes[key] = st.surface_scene(n, seed=11)
+            scene = scenes[key]
+            cam = st.Camera.create(h=h, w=w, position=(0.0, -1.0, 3.5))
+            img = np.asarray(render_tiled_checked(scene.pack_device(),
+                                                  cam, config))
+            if key not in golds:   # oracle is config-independent here
+                golds[key] = render_oracle(scene, cam, config)
+            p = psnr(img, golds[key])
+            print(f"on-device parity [{label}]: "
+                  f"backend={jax.default_backend()} "
+                  f"surface_scene({n}) {w}x{h} PSNR={p:.2f} dB "
+                  f"(threshold 45)")
+            return p
+
+        if args.psnr:
+            ps = [check("default", RenderConfig(
+                tile_px=args.tile, tile_py=args.tiley, chunk=args.chunk,
+                max_dup_factor=args.dup))]
+        else:
+            ps = [
+                check("default", RenderConfig()),
+                check("expand=xla", RenderConfig(expand_impl="xla")),
+                check("tile64", RenderConfig(tile_px=64)),
+                check("tile32x16", RenderConfig(tile_py=16)),
+                check("cull_pairs", RenderConfig(cull_pairs=True)),
+                check("exact_accum",
+                      RenderConfig(exact_color_accum=True)),
+                check("grouped_exit",
+                      RenderConfig(subtile_heavy_pairs=0)),
+                # the bench operating point's resolution (ADVICE r2: the
+                # u16-feature + bf16-accum headline was measured at one
+                # 800x600 point; this catches precision stacking with
+                # 1080p-scale conics/radii)
+                check("1080p", RenderConfig(), n=20000, h=1080, w=1920),
+            ]
+        if min(ps) < 45.0:
             raise SystemExit(1)
         return
 
     lo, hi = (float(x) for x in args.scale.split(","))
     if args.scene == "surface":
-        scene = st.surface_scene(args.n, seed=0).to_device()
+        scene = st.surface_scene(args.n, seed=0)
     else:
         scene = st.random_scene(args.n, seed=0, extent=args.extent,
-                                scale_range=(lo, hi)).to_device()
+                                scale_range=(lo, hi))
+    scene = scene.pack_device() if args.packed else scene.to_device()
     pos = (0.0, 0.0, 400.0) if args.empty else (0.0, 0.0, 4.0)
     tgt = (0.0, 0.0, 500.0) if args.empty else (0.0, 0.0, 0.0)
     cam = st.Camera.create(h=args.h, w=args.w, position=pos, target=tgt)
     config = RenderConfig(tile_px=args.tile, tile_py=args.tiley,
                           chunk=args.chunk, max_dup_factor=args.dup,
                           cull_pairs=(args.nocull is False),
-                          subtile_exit=not args.nosubtile)
+                          subtile_exit=args.subtile,
+                          transmit_mxu=args.mxutr)
 
     f_frames = args.frames
 

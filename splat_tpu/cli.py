@@ -110,8 +110,10 @@ def cmd_render(args) -> int:
     from splat_tpu.render.api import render
     from splat_tpu.utils.image import write_png
 
-    scene = _load(args).to_device()
+    scene = _load(args)
     cam = _camera(args)
+    config = _config(args, scene, cam)
+    scene = scene.pack_device()   # feature-major hot-path layout
     t0 = time.time()
     if args.profile:
         from splat_tpu.utils.diagnostics import profile_trace
@@ -121,8 +123,7 @@ def cmd_render(args) -> int:
         import contextlib
         ctx = contextlib.nullcontext()
     with ctx:
-        img = np.asarray(render(scene, cam, _config(args, scene, cam),
-                                method=args.method))
+        img = np.asarray(render(scene, cam, config, method=args.method))
     # The reference prints per-frame timing (src/main.rs:77).
     print(f"Rendering took {(time.time() - t0) * 1e3:.1f} ms "
           f"(N={scene.num_gaussians}, {cam.w}x{cam.h}, incl. compile)")
@@ -141,10 +142,11 @@ def cmd_orbit(args) -> int:
 
     from splat_tpu.render.api import resolve_method
 
-    scene = _load(args).to_device()
+    scene = _load(args)
     cam = _camera(args)
     os.makedirs(args.out_dir, exist_ok=True)
     config = _config(args, scene, cam)
+    scene = scene.pack_device()   # feature-major hot-path layout
     method = resolve_method(args.method, scene)
     if method == "tiled":
         # Track duplication-buffer overflow across the trajectory so a

@@ -87,15 +87,32 @@ class RenderConfig:
     # the fallback (profiling / very large tile grids).
     expand_impl: str = "auto"
     background: tuple[float, float, float] = (0.0, 0.0, 0.0)
-    # Per-pixel-group saturation exit in the raster kernel: the tile's
-    # pixels are partitioned into 8x16 blocks, each with its own
-    # saturation flag, so a tile that mixes opaque surface with open
-    # background stops doing VPU work on the covered blocks while the
-    # background blocks keep compositing.  This is the trained-scene
-    # silhouette-tile fix (raster stage 37.4 -> ~17 ms at 1M@1080p on the
-    # surface scene); False restores the whole-tile exit.  Tiles not
-    # divisible into 8x16 blocks degrade to whole-tile automatically.
-    subtile_exit: bool = True
+    # Per-pixel-group saturation exit in the raster kernel: pixels of a
+    # HEAVY tile (pair range > subtile_heavy_pairs) are partitioned into
+    # 8x16 blocks, each with its own saturation flag, so a tile that
+    # mixes opaque surface with open background stops doing VPU work on
+    # the covered blocks while the background blocks keep compositing.
+    # This targets the trained-scene silhouette tiles (they walk tens of
+    # thousands of pairs at full tile width because one background pixel
+    # keeps the whole tile alive; a saturation profile shows 8x16 groups
+    # would cut their group-windows 3.6x — scripts/satprofile.py).
+    # DEFAULT OFF: the current implementation's per-group overhead
+    # exceeds those savings on v5e (measured: surface 52.2 -> 67.9 ms,
+    # uniform 50.4 -> 53.8 ms) — the machinery is kept, tested, and
+    # gated for further iteration.  Tiles not divisible into 8x16 blocks
+    # degrade to whole-tile automatically.
+    subtile_exit: bool = False
+    # Pair-range length above which a tile switches to the per-group
+    # walk.  Below it the possible savings can't repay the bookkeeping.
+    subtile_heavy_pairs: int = 4096
+    # Compute the per-window transmittance prefix on the MXU instead of
+    # the VPU: log1p(-alpha), ONE strictly-triangular-ones matmul as the
+    # exclusive prefix sum (two exact bf16 passes via Dekker bit-split —
+    # never the f32(bf16(x)) round-trip, which XLA's excess-precision
+    # pass elides), then exp.  Replaces the 7-level shifted-multiply
+    # prefix product (~14 VPU passes per window) with ~4 passes plus MXU
+    # work that overlaps the VPU.
+    transmit_mxu: bool = False
     # Color accumulation matmul precision in the raster kernel.  False
     # (default): one bf16 MXU pass with f32 accumulation — measured
     # 70.3 dB vs the oracle on-chip (threshold 45), ~3.8 ms/frame faster

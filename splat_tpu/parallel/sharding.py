@@ -212,40 +212,52 @@ def _render_slab_tiled(proj, row0, h_local: int, w: int,
             bins.overflow)
 
 
+def _resolve_route(route: str, n_g: int) -> str:
+    """'auto' -> measured crossover (scripts/a2a_crossover.py, recorded in
+    ARCHITECTURE.md): with the default cap ``min(1, 4/n_g) * N_local``,
+    a2a traffic is n_g*cap*13 vs gather's (n_g-1)*N_local*13 per chip —
+    a2a only undercuts gather once n_g > 5 (ratio 2.0 at n_g=2, 1.33 at
+    n_g=4, 0.57 at n_g=8), so small meshes replicate."""
+    if route == "auto":
+        return "a2a" if n_g >= 6 else "gather"
+    if route not in ("a2a", "gather"):
+        raise ValueError(
+            f"route must be 'auto', 'a2a' or 'gather', got {route!r}")
+    return route
+
+
 def render_sharded_tiled(scene, camera: Camera, mesh: Mesh,
                          config: RenderConfig | None = None,
-                         route: str = "a2a",
+                         route: str = "auto",
                          slab_cap_factor: float | None = None):
     """Single-frame tile-binned render, gaussians sharded over mesh axis 'g'.
 
     Same project-local / composite-slab decomposition as
     :func:`render_sharded`, but each chip rasterizes its row slab with the
     production tiled Pallas kernel, and the projected records are routed by
-    **tile ownership** instead of replicated:
+    **tile ownership** when that is cheaper than replication:
 
-    route="a2a" (default): each chip compacts, per destination chip d, the
+    route="a2a": each chip compacts, per destination chip d, the
       records whose bbox intersects slab d, then ONE ``all_to_all`` over
       ICI delivers to every chip exactly the records that touch its slab.
       Per-chip traffic is ``n_g * cap * 13`` floats where
-      ``cap = slab_cap_factor * N_local`` — with the default factor
-      ``min(1, 4/n_g)`` that is ~4/n_g of the all-gather payload, so the
-      collective cost stays flat as the mesh grows instead of linear.
-      Records beyond ``cap`` for one (src, dst) pair are dropped
-      deepest-last and COUNTED — same no-silent-truncation contract as
-      binning.
-    route="gather": replicate all records (``all_gather``) — simpler,
-      cheaper below ~2 chips or for slab-spanning splat distributions;
-      never overflows on routing.
+      ``cap = slab_cap_factor * N_local`` (default factor
+      ``min(1, 4/n_g)``), constant in mesh size.  Records beyond ``cap``
+      for one (src, dst) pair are dropped deepest-last and COUNTED — same
+      no-silent-truncation contract as binning.  CAUTION for a2a at scale:
+      the per-(src, dst) cap assumes shards are spatially uncorrelated;
+      a scene stored in spatial order can need factor ~1.0 (measured on
+      the surface fixture: one shard's records all landed in one slab).
+      ``GaussianScene.permuted()`` de-clusters such scenes.
+    route="gather": replicate all records (``all_gather``) — never
+      overflows on routing; cheaper up to ~5 chips (see _resolve_route).
+    route="auto" (default): gather for n_g < 6, a2a above.
 
     Returns ``(image, overflow)`` where overflow is the psum of ROUTING
     overflow (slab cap too small) and per-slab BINNING overflow
     (``max_dup_factor`` too small) — zero means no truncation anywhere.
     Callers that do not audit the count should use
     :func:`render_sharded_tiled_checked`.
-
-    The all-gather crossover: traffic ratio a2a/gather = cap * n_g / N,
-    so a2a wins whenever a typical splat's bbox overlaps fewer than
-    ``cap * n_g / N_local`` slabs (≈4 with the default factor).
     """
     config = config or RenderConfig()
     h, w = camera.h, camera.w
@@ -254,8 +266,7 @@ def render_sharded_tiled(scene, camera: Camera, mesh: Mesh,
         raise ValueError(f"image height {h} not divisible by g={n_g}")
     h_local = h // n_g
     interpret = jax.default_backend() == "cpu"
-    if route not in ("a2a", "gather"):
-        raise ValueError(f"route must be 'a2a' or 'gather', got {route!r}")
+    route = _resolve_route(route, n_g)
 
     def fn(scene_local, cam):
         proj_local = project_gaussians(scene_local, cam, config)
@@ -284,10 +295,11 @@ def render_sharded_tiled(scene, camera: Camera, mesh: Mesh,
 
 def render_batch_sharded_tiled(scene, cameras: Camera, mesh: Mesh,
                                config: RenderConfig | None = None,
-                               route: str = "a2a",
+                               route: str = "auto",
                                slab_cap_factor: float | None = None):
     """Trajectory batch on the PRODUCTION tiled path: frames over mesh
-    axis 'd', gaussians over 'g', per-frame a2a tile-ownership routing.
+    axis 'd', gaussians over 'g', per-frame record routing (see
+    render_sharded_tiled for the route semantics and overflow contract).
 
     ``cameras`` is a batched Camera (leading frame axis); the frame count
     must be divisible by the 'd' axis size and the height by 'g'.  Frames
@@ -301,6 +313,7 @@ def render_batch_sharded_tiled(scene, cameras: Camera, mesh: Mesh,
         raise ValueError(f"image height {h} not divisible by g={n_g}")
     h_local = h // n_g
     interpret = jax.default_backend() == "cpu"
+    route = _resolve_route(route, n_g)
 
     def fn(scene_local, cams_local):
         g_idx = jax.lax.axis_index("g")

@@ -10,23 +10,26 @@ pre-sorted gaussian range front-to-back in lane-aligned windows:
                  no transposes/relayouts
   transmittance: log-depth exclusive cumulative product along lanes
   contribution : masked weighted reductions along lanes
-  early exit   : per PIXEL GROUP (see below), and the whole tile stops once
-                 every group is saturated
+  early exit   : whole tile for short ranges; per PIXEL GROUP for long
+                 ranges (see below)
 
-Saturation exit granularity: the tile's pixels are partitioned into
-GROUP_H x GROUP_W (8 x 16) pixel blocks of 128 pixels, one sublane-slice
-of the accumulators each, each with its own saturation flag kept in SMEM.
-A window's (pixels x gaussians) math runs per STILL-ACTIVE group only
-(@pl.when predication — the flags were written one window earlier, so the
-scalar core resolves the branches without waiting on this window's VPU
-work).  This is the fix for trained-scene silhouette tiles: a 32x32 tile
-that mixes opaque surface (saturates after tens of pairs) with background
-(never saturates) used to walk its entire multi-thousand-pair range at
-full tile width because ONE unsaturated pixel kept all 1024 alive; now
-the saturated surface blocks drop out and the tail of the range runs only
-on the (few) background blocks.  Measured at 1M@1080p on v5e: surface
-scene raster stage 37.4 -> ~17 ms; random scene also improves (partially
-saturated tiles shed their covered blocks).
+Saturation-exit granularity is load-adaptive.  Short pair ranges walk the
+tile as ONE (P, chunk) body with a whole-tile exit — zero bookkeeping
+overhead, the right trade when the walk is a handful of windows.  Ranges
+longer than ``subtile_heavy_pairs`` additionally get PHASE COMPACTION
+(config.subtile_exit): the tile's pixels are viewed as 8 x 16 blocks of
+128 rows; the walk starts at full width while per-block saturation flags
+refresh every SAT_CHECK_EVERY windows, and once <= COMPACT_GROUPS blocks
+remain unsaturated their rows (coords, color, transmittance) are copied
+into a contiguous compact buffer and the REST of the range walks at
+compact width — then the compact rows are written back once.  This is
+the trained-scene silhouette-tile structure: opaque surface saturates
+its blocks after tens of pairs while open background never saturates, so
+one unsaturated pixel used to keep all 1024 burning VPU for tens of
+thousands of pairs.  All control flow sits at the single phase boundary:
+per-window per-group predication was measured at ~0.3 us/branch plus
+~0.26 us fixed per 128-row body on v5e — more than the work it skips —
+so the design moves pixels once instead of branching every window.
 
 Alignment: Mosaic requires DMA windows 128-aligned on the lane axis, but a
 tile's range [s, e) starts anywhere.  Window j covers lanes
@@ -35,8 +38,8 @@ global index (they belong to neighboring tiles).
 
 This replaces the reference's per-pixel fragment/blend callbacks
 (src/pipelines.rs:127-168) — there, one scalar callback per covered pixel
-per gaussian; here every (pixel, gaussian) pair in a window is one lane of a
-dense VPU op, with no data-dependent control flow below the group level.
+per gaussian; here every (pixel, gaussian) pair in a window is one lane of
+a dense VPU op, with no data-dependent control flow below the group level.
 
 DMA pipelining: window fetches run NBUF-buffered with a 2-window lookahead
 issued BEFORE the current window's compute, so HBM latency hides behind
@@ -68,6 +71,18 @@ NBUF = 4
 # horizontal edges).
 GROUP_W = 16
 GROUP_H = 8
+
+# Windows between group-flag re-evaluations on the heavy path: each check
+# is a (pg, 1) vector max funneled to a scalar SMEM flag — cheap VPU work
+# but a scalar-core sync — so it is amortized over several windows.  The
+# cost is up to SAT_CHECK_EVERY - 1 windows of extra work per group after
+# it saturates: noise against the hundreds-of-windows walks that take
+# this path.
+SAT_CHECK_EVERY = 8
+
+# Pixel groups carried into the compact phase of a heavy tile's walk
+# (COMPACT_GROUPS * 128 = 256 compact rows — a quarter-width tail walk).
+COMPACT_GROUPS = 2
 
 
 def group_grid(tile_w: int, tile_h: int, subtile: bool):
@@ -108,11 +123,12 @@ def _raster_kernel(
     # outputs
     out_ref,                        # (3, 1, bs0, bs1) VMEM block
     # scratch
-    feat_vmem, sem, img_ref, tr_ref, act_ref,
+    feat_vmem, sem, img_ref, tr_ref, act_ref, cpx_ref, cpy_ref,
+    cimg_ref, ctr_ref, meta_ref,
     *, chunk: int, tile_w: int, tile_h: int, tiles_x: int, bs0: int,
     bs1: int, alpha_clamp: float, alpha_min: float,
     bg: tuple[float, float, float], color_precision, gy_n: int, gx_n: int,
-    bh: int, bw: int,
+    bh: int, bw: int, heavy_chunks: int, transmit_mxu: bool,
 ):
     t = pl.program_id(0)
     s = start_ref[t]
@@ -125,26 +141,29 @@ def _raster_kernel(
     tile_y = t // tiles_x
     tile_x = t % tiles_x
 
-    # Per-program state: accumulators + group-active flags.  Scratch
-    # persists across grid steps, so everything is (re)initialized here.
+    # Per-program state (scratch persists across grid steps — reinit).
     img_ref[...] = jnp.zeros((p, 3), jnp.float32)
     tr_ref[...] = jnp.ones((p, 1), jnp.float32)
-    for g in range(ng):
-        act_ref[g] = 1
 
-    # Pixel coordinates per GROUP, as (pg, 1) columns with static offsets:
-    # group g = gy * gx_n + gx covers the bh x bw pixel block at
-    # (gy*bh, gx*bw) within the tile; within-group index q maps to
-    # (q // bw, q % bw).  The untile in rasterize_tiles inverts this.
-    q_lin = jax.lax.broadcasted_iota(jnp.int32, (pg, 1), 0)
-    qx = q_lin % bw
-    qy = q_lin // bw
+    # Pixel coordinates of all P accumulator rows, computed ONCE per
+    # program as (P, 1) columns; window bodies slice per group.  Linear
+    # row index r = g * pg + q where group g = gy * gx_n + gx covers the
+    # bh x bw pixel block at (gy*bh, gx*bw) and q maps to
+    # (q // bw, q % bw); rasterize_tiles' untile inverts this mapping.
+    r_lin = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    g_of = r_lin // pg
+    q_of = r_lin % pg
+    pxf_all = (tile_x * tile_w + (g_of % gx_n) * bw
+               + q_of % bw).astype(jnp.float32)
+    pyf_all = (tile_y * tile_h + (g_of // gx_n) * bh
+               + q_of // bw).astype(jnp.float32)
 
-    def group_coords(g):
-        gy, gx = g // gx_n, g % gx_n
-        pxf = (tile_x * tile_w + gx * bw + qx).astype(jnp.float32)
-        pyf = (tile_y * tile_h + gy * bh + qy).astype(jnp.float32)
-        return pxf, pyf
+    if transmit_mxu:
+        # strictly-lower-triangular ones: contracting lane i of a window
+        # row with column j yields the EXCLUSIVE prefix sum over i < j
+        ti = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+        tj = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+        tri_excl = (ti < tj).astype(jnp.float32)
 
     def dma(slot, j):
         off = pl.multiple_of(base + j * chunk, 128)
@@ -163,8 +182,110 @@ def _raster_kernel(
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
-    def body(carry):
-        j, _ = carry
+    def decode(f):
+        """Packed feature rows (binning.py layout) -> per-window rows,
+        all (1, chunk) or (3, chunk): rows 0-4 are f32 bits of
+        [cx, cy, -a/2, -b, -c/2]; rows 5/6 are u16 pairs of (r, g) and
+        (b, opacity); row 7 is 15-bit (rx, ry) in 1/8-px units.  A
+        saturated radius field (_R15_MAX) means "covers everything": its
+        squared radius decodes to +inf so the bbox compare always passes.
+        The conic arrives prescaled and the bbox test uses squared radii,
+        shaving ~3 (P, chunk) VPU ops."""
+        frow = lambda i: jax.lax.bitcast_convert_type(
+            f[i:i + 1, :], jnp.float32)           # (1, chunk) f32 bits
+        lo16 = lambda i: (f[i:i + 1, :] & 0xFFFF).astype(jnp.float32)
+        hi16 = lambda i: ((f[i:i + 1, :] >> 16) & 0xFFFF).astype(
+            jnp.float32)
+        inv_u16 = 1.0 / 65535.0
+        colors = jnp.concatenate(
+            [lo16(5), hi16(5), lo16(6)]) * inv_u16            # (3, chunk)
+        rxq = f[7:8, :] & 0x7FFF
+        ryq = (f[7:8, :] >> 15) & 0x7FFF
+        rx = rxq.astype(jnp.float32) * 0.125
+        ry = ryq.astype(jnp.float32) * 0.125
+        return dict(
+            cx=frow(0), cy=frow(1), a2=frow(2), b2=frow(3), c2=frow(4),
+            colors=colors,
+            rx2=jnp.where(rxq == _R15_MAX, jnp.inf, rx * rx),
+            ry2=jnp.where(ryq == _R15_MAX, jnp.inf, ry * ry),
+            op_raw=hi16(6) * inv_u16)
+
+    def composite_rows(w, op, img_t, tr_t, pxc, pyc, rows, mxu: bool):
+        """One window's front-to-back compositing of ``rows`` accumulator
+        rows (img_t/tr_t refs, pxc/pyc pixel-coordinate columns); returns
+        the updated transmittance."""
+        dx = pxc - w["cx"]                        # (rows, chunk)
+        dy = w["cy"] - pyc                        # local +y up on screen
+        dx_2 = dx * dx
+        dy_2 = dy * dy
+        power = w["a2"] * dx_2 + w["c2"] * dy_2 + w["b2"] * (dx * dy)
+        alpha = jnp.minimum(alpha_clamp, op * jnp.exp(power))
+        # No power<=0 test: visibility gating requires det(cov2d)>0
+        # (projection.py), so the conic is PSD and power<=0 always holds;
+        # the reference's check (src/pipelines.rs:135) is defensive only.
+        keep = ((alpha >= alpha_min) & (dx_2 <= w["rx2"])
+                & (dy_2 <= w["ry2"]))
+        alpha = jnp.where(keep, alpha, 0.0)
+
+        if transmit_mxu and mxu:
+            # Transmittance prefix on the MXU: log-space cumsum via ONE
+            # strictly-lower-triangular-ones contraction.  x is Dekker-
+            # split with a bit mask (NEVER x - f32(bf16(x)): XLA's
+            # excess-precision pass elides the round-trip) so two DEFAULT
+            # bf16 passes are f32-exact: the triangular mask is 0/1
+            # (exact in bf16) and each split part fits a bf16 mantissa.
+            # Replaces the 7-level shifted-multiply prefix (~14 VPU
+            # passes) with ~4 VPU passes + MXU work that overlaps.
+            x = jnp.log1p(-jnp.minimum(alpha, 0.999999))
+            xb = jax.lax.bitcast_convert_type(
+                jax.lax.bitcast_convert_type(x, jnp.int32)
+                & ~jnp.int32(0xFFFF),
+                jnp.float32)
+            xl = x - xb
+            dot = lambda a_: jax.lax.dot_general(
+                a_, tri_excl, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s_log = dot(xb) + dot(xl)             # (rows, chunk) excl sum
+            t_before = jnp.exp(s_log)
+            t_chunk = jnp.exp(s_log[:, -1:] + x[:, -1:])
+        else:
+            t_before, t_chunk = _cumprod_excl_lanes(1.0 - alpha)
+        transmit = tr_t[0:rows, :]
+        weight = alpha * t_before                 # (rows, chunk)
+        if mxu:
+            # Channel accumulation on the MXU: contract (rows, chunk)
+            # with the (3, chunk) color rows on their lane dims (no
+            # transpose) — frees ~6 VPU passes per window and overlaps
+            # with the VPU's next ops.  Precision DEFAULT (one bf16
+            # pass, f32 accumulation) is the measured sweet spot — 70 dB
+            # vs the oracle on-chip (HIGHEST: 79.5 dB; threshold 45);
+            # exact_color_accum restores HIGHEST at ~3.8 ms/frame at
+            # 1M@1080p.  The carried transmittance multiplies the
+            # contracted (rows, 3) result — one tiny op instead of a
+            # full (rows, chunk) pass on the weights.
+            contrib = jax.lax.dot_general(
+                weight, w["colors"], (((1,), (1,)), ((), ())),
+                precision=color_precision,
+                preferred_element_type=jnp.float32)   # (rows, 3)
+        else:
+            # VPU lane-reductions instead: per-group MXU launches on the
+            # heavy path serialize against the vector pipeline (measured
+            # as most of the grouped-walk overhead), while three masked
+            # (rows, chunk) reductions stream through the VPU — and are
+            # full f32 (more precise than the bf16 dot).
+            contrib = jnp.concatenate(
+                [jnp.sum(weight * w["colors"][c:c + 1, :], axis=1,
+                         keepdims=True) for c in range(3)], axis=1)
+        img_t[0:rows, :] = img_t[0:rows, :] + transmit * contrib
+        transmit = transmit * t_chunk
+        tr_t[0:rows, :] = transmit
+        return transmit
+
+    def window_rows(j):
+        """DMA bookkeeping + decode for window j; returns the decoded
+        rows with pair-range validity folded into the opacity row: lanes
+        outside [s, e) get op=0, failing the alpha cutoff with no
+        (rows, chunk)-wide range compares."""
         slot = jax.lax.rem(j, NBUF)
         dma(slot, j).wait()
 
@@ -174,110 +295,166 @@ def _raster_kernel(
         def _():
             dma(jax.lax.rem(j + 2, NBUF), j + 2).start()
 
-        f = feat_vmem[slot]                       # (FEATURE_DIM, chunk) i32
-
-        # Decode the packed feature rows (binning.py layout) with cheap
-        # (1, chunk) window-level ops: rows 0-4 are f32 bits of
-        # [cx, cy, -a/2, -b, -c/2]; rows 5/6 are u16 pairs of (r, g) and
-        # (b, opacity); row 7 is 15-bit (rx, ry) in 1/8-px units (bit 30
-        # is the visibility flag, unused here).  A saturated radius field
-        # (_R15_MAX) means "covers everything": its squared radius decodes
-        # to +inf so the bbox compare always passes.  The conic arrives
-        # prescaled and the bbox test uses squared radii, shaving ~3
-        # (P, chunk) VPU ops.
-        frow = lambda i: jax.lax.bitcast_convert_type(
-            f[i:i + 1, :], jnp.float32)           # (1, chunk) f32 bits
-        lo16 = lambda i: (f[i:i + 1, :] & 0xFFFF).astype(jnp.float32)
-        hi16 = lambda i: ((f[i:i + 1, :] >> 16) & 0xFFFF).astype(
-            jnp.float32)
-        cx, cy = frow(0), frow(1)
-        a2, b2, c2 = frow(2), frow(3), frow(4)
-        inv_u16 = 1.0 / 65535.0
-        colors = jnp.concatenate(
-            [lo16(5), hi16(5), lo16(6)]) * inv_u16            # (3, chunk)
-        rxq = f[7:8, :] & 0x7FFF
-        ryq = (f[7:8, :] >> 15) & 0x7FFF
-        rx = rxq.astype(jnp.float32) * 0.125
-        ry = ryq.astype(jnp.float32) * 0.125
-        rx2 = jnp.where(rxq == _R15_MAX, jnp.inf, rx * rx)
-        ry2 = jnp.where(ryq == _R15_MAX, jnp.inf, ry * ry)
+        w = decode(feat_vmem[slot])
         k_global = base + j * chunk + lane        # (1, chunk)
-        # Fold the pair-range validity into the opacity ROW (1, chunk)
-        # before broadcasting: lanes outside [s, e) get op=0, so they fail
-        # the alpha cutoff with no (P, chunk)-wide range compares.
-        op = jnp.where((k_global >= s) & (k_global < e),
-                       hi16(6) * inv_u16, 0.0)
+        op = jnp.where((k_global >= s) & (k_global < e), w["op_raw"], 0.0)
+        return w, op
 
+    def drain(j_end):
+        """Drain in-flight fetches on early exit (body j issues j + 2;
+        exiting after body j_end - 1 leaves j_end and j_end + 1
+        outstanding when they exist)."""
+        @pl.when(j_end < nchunks)
+        def _():
+            dma(jax.lax.rem(j_end, NBUF), j_end).wait()
+
+        @pl.when(j_end + 1 < nchunks)
+        def _():
+            dma(jax.lax.rem(j_end + 1, NBUF), j_end + 1).wait()
+
+    # ---- light path: whole-tile body, whole-tile saturation exit -------
+    def light_loop():
+        def body(carry):
+            j, _ = carry
+            w, op = window_rows(j)
+            transmit = composite_rows(w, op, img_ref, tr_ref,
+                                      pxf_all, pyf_all, p, mxu=True)
+            return j + 1, jnp.max(transmit) < alpha_min
+
+        def cond(carry):
+            j, saturated = carry
+            return (j < nchunks) & jnp.logical_not(saturated)
+
+        j_end, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.bool_(False)))
+        drain(j_end)
+
+    # ---- heavy path: whole-tile walk + PHASE COMPACTION ----------------
+    # Two sequential loops, all control flow at the single phase boundary
+    # (per-window per-group predication measured ~0.3 us/branch plus
+    # ~0.26 us fixed per 128-row body on v5e — more than the work it
+    # saves).  Phase 1 walks the FULL tile exactly like the light path,
+    # additionally refreshing per-group saturation flags every
+    # SAT_CHECK_EVERY windows; once <= COMPACT_GROUPS groups remain
+    # unsaturated, their rows (pixel coords, color, transmittance) are
+    # copied into a contiguous compact buffer and phase 2 walks the rest
+    # of the range at compact width with zero bookkeeping.  Saturated
+    # rows' state stays valid in the full accumulators; the compact rows
+    # are written back once at the end.
+    def heavy_loop():
         for g in range(ng):
-            @pl.when(act_ref[g] == 1)
-            def _(g=g):
-                pxf, pyf = group_coords(g)
-                r0 = g * pg
-                dx = pxf - cx                     # (pg, chunk)
-                dy = cy - pyf                     # local +y up on screen
-                dx_2 = dx * dx
-                dy_2 = dy * dy
-                power = a2 * dx_2 + c2 * dy_2 + b2 * (dx * dy)
-                alpha = jnp.minimum(alpha_clamp, op * jnp.exp(power))
-                # No power<=0 test: visibility gating requires
-                # det(cov2d)>0 (projection.py), so the conic is PSD and
-                # power<=0 always holds; the reference's check
-                # (src/pipelines.rs:135) is defensive only.
-                keep = (alpha >= alpha_min) & (dx_2 <= rx2) & (dy_2 <= ry2)
-                alpha = jnp.where(keep, alpha, 0.0)
+            act_ref[g] = 1
 
-                t_before, t_chunk = _cumprod_excl_lanes(1.0 - alpha)
-                transmit = tr_ref[r0:r0 + pg, :]
-                weight = alpha * t_before         # (pg, chunk), window-local
-                # Channel accumulation on the MXU: contract (pg, chunk)
-                # with the (3, chunk) color rows on their lane dims (no
-                # transpose) — frees ~6 VPU passes per window and overlaps
-                # with the VPU's next ops.  Precision DEFAULT (one bf16
-                # pass, f32 accumulation) is the measured sweet spot:
-                # per-term weight rounding is ~0.4% relative but
-                # contributions average down — 70.3 dB vs the oracle at
-                # 800x600 on-chip (HIGHEST: 79.5 dB; threshold 45; the u16
-                # color quantization already bounds the exact path).
-                # HIGHEST costs ~3.8 ms/frame at 1M@1080p;
-                # RenderConfig.exact_color_accum restores it.  The carried
-                # transmittance multiplies the contracted (pg, 3) result —
-                # one tiny op instead of a full (pg, chunk) pass on the
-                # weights.
-                img_ref[r0:r0 + pg, :] = (
-                    img_ref[r0:r0 + pg, :]
-                    + transmit * jax.lax.dot_general(
-                        weight, colors, (((1,), (1,)), ((), ())),
-                        precision=color_precision,
-                        preferred_element_type=jnp.float32))  # (pg, 3)
-                transmit = transmit * t_chunk
-                tr_ref[r0:r0 + pg, :] = transmit
-                # This group's flag gates NEXT window's branch; the scalar
-                # core only stalls on it one window later, after this
-                # window's VPU work is already issued.
-                act_ref[g] = jnp.where(jnp.max(transmit) < alpha_min,
-                                       0, 1).astype(jnp.int32)
+        def body_full(carry):
+            j, nact = carry
+            w, op = window_rows(j)
+            composite_rows(w, op, img_ref, tr_ref, pxf_all, pyf_all, p,
+                           mxu=True)
+            check = jax.lax.rem(j, SAT_CHECK_EVERY) == SAT_CHECK_EVERY - 1
 
-        nact = act_ref[0]
-        for g in range(1, ng):
-            nact = nact + act_ref[g]
-        return j + 1, nact
+            @pl.when(check)
+            def _():
+                for g in range(ng):
+                    act_ref[g] = jnp.where(
+                        jnp.max(tr_ref[g * pg:(g + 1) * pg, :])
+                        < alpha_min, 0, 1).astype(jnp.int32)
 
-    def cond(carry):
-        j, nact = carry
-        return (j < nchunks) & (nact > 0)
+            nact2 = act_ref[0]
+            for g in range(1, ng):
+                nact2 = nact2 + act_ref[g]
+            return j + 1, jnp.where(check, nact2, nact)
 
-    j_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(ng)))
+        def cond_full(carry):
+            j, nact = carry
+            return (j < nchunks) & (nact > COMPACT_GROUPS)
 
-    # Drain in-flight fetches on saturation early-exit (body j issues
-    # j + 2; exiting after body j_end - 1 leaves j_end and j_end + 1
-    # outstanding when they exist).
-    @pl.when(j_end < nchunks)
-    def _():
-        dma(jax.lax.rem(j_end, NBUF), j_end).wait()
+        j1, nact1 = jax.lax.while_loop(cond_full, body_full,
+                                       (jnp.int32(0), jnp.int32(ng)))
 
-    @pl.when(j_end + 1 < nchunks)
-    def _():
-        dma(jax.lax.rem(j_end + 1, NBUF), j_end + 1).wait()
+        do_compact = (j1 < nchunks) & (nact1 > 0)
+
+        @pl.when(do_compact)
+        def _():
+            # Gather the still-active groups' state into the compact
+            # buffers.  meta_ref: [count, group_id_0, group_id_1].
+            meta_ref[0] = 0
+            for g in range(ng):
+                @pl.when(act_ref[g] == 1)
+                def _(g=g):
+                    k = meta_ref[0]
+
+                    @pl.when(k < COMPACT_GROUPS)
+                    def _():
+                        meta_ref[1 + k] = g
+                    meta_ref[0] = k + 1
+            for k in range(COMPACT_GROUPS):
+                lo, hi = k * pg, (k + 1) * pg
+
+                @pl.when(k < meta_ref[0])
+                def _(k=k, lo=lo, hi=hi):
+                    g = meta_ref[1 + k]
+                    r0 = g * pg
+                    cpx_ref[lo:hi, :] = jax.lax.dynamic_slice(
+                        pxf_all, (r0, 0), (pg, 1))
+                    cpy_ref[lo:hi, :] = jax.lax.dynamic_slice(
+                        pyf_all, (r0, 0), (pg, 1))
+                    cimg_ref[lo:hi, :] = img_ref[pl.ds(r0, pg), :]
+                    ctr_ref[lo:hi, :] = tr_ref[pl.ds(r0, pg), :]
+
+                @pl.when(k >= meta_ref[0])
+                def _(lo=lo, hi=hi):
+                    # Padding rows: zero coords keep the alpha math
+                    # finite; zero transmittance silences contributions
+                    # AND the saturation check (never written back).
+                    cpx_ref[lo:hi, :] = jnp.zeros((pg, 1), jnp.float32)
+                    cpy_ref[lo:hi, :] = jnp.zeros((pg, 1), jnp.float32)
+                    cimg_ref[lo:hi, :] = jnp.zeros((pg, 3), jnp.float32)
+                    ctr_ref[lo:hi, :] = jnp.zeros((pg, 1), jnp.float32)
+
+        cpx = cpx_ref[...]
+        cpy = cpy_ref[...]
+
+        def body_c(carry):
+            j, alive = carry
+            w, op = window_rows(j)
+            transmit = composite_rows(w, op, cimg_ref, ctr_ref, cpx, cpy,
+                                      COMPACT_GROUPS * pg, mxu=True)
+            sat = jnp.max(transmit) < alpha_min
+            return j + 1, jnp.where(sat, jnp.int32(0), alive)
+
+        def cond_c(carry):
+            j, alive = carry
+            return (j < nchunks) & (alive > 0)
+
+        j2, _ = jax.lax.while_loop(
+            cond_c, body_c,
+            (j1, jnp.where(do_compact, jnp.int32(1), jnp.int32(0))))
+
+        @pl.when(do_compact)
+        def _():
+            for k in range(COMPACT_GROUPS):
+                lo, hi = k * pg, (k + 1) * pg
+
+                @pl.when(k < meta_ref[0])
+                def _(k=k, lo=lo, hi=hi):
+                    g = meta_ref[1 + k]
+                    img_ref[pl.ds(g * pg, pg), :] = cimg_ref[lo:hi, :]
+                    tr_ref[pl.ds(g * pg, pg), :] = ctr_ref[lo:hi, :]
+
+        drain(j2)
+
+    if ng == 1:
+        light_loop()
+    else:
+        heavy = nchunks > heavy_chunks
+
+        @pl.when(jnp.logical_not(heavy))
+        def _():
+            light_loop()
+
+        @pl.when(heavy)
+        def _():
+            heavy_loop()
 
     img = img_ref[...]
     transmit = tr_ref[...]
@@ -296,6 +473,7 @@ def rasterize_tiles(bins: TileBins, h: int, w: int, config: RenderConfig,
     chunk = config.chunk
     p = tw * th
     gy_n, gx_n, bh, bw = group_grid(tw, th, config.subtile_exit)
+    cg_pg = p // (gy_n * gx_n)   # rows per pixel group
 
     kernel = functools.partial(
         _raster_kernel, chunk=chunk, tile_w=tw, tile_h=th, tiles_x=ntx,
@@ -304,7 +482,9 @@ def rasterize_tiles(bins: TileBins, h: int, w: int, config: RenderConfig,
         color_precision=(jax.lax.Precision.HIGHEST
                          if config.exact_color_accum
                          else jax.lax.Precision.DEFAULT),
-        gy_n=gy_n, gx_n=gx_n, bh=bh, bw=bw)
+        gy_n=gy_n, gx_n=gx_n, bh=bh, bw=bw,
+        heavy_chunks=-(-config.subtile_heavy_pairs // chunk),
+        transmit_mxu=config.transmit_mxu)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -318,6 +498,11 @@ def rasterize_tiles(bins: TileBins, h: int, w: int, config: RenderConfig,
             pltpu.VMEM((p, 3), jnp.float32),
             pltpu.VMEM((p, 1), jnp.float32),
             pltpu.SMEM((gy_n * gx_n,), jnp.int32),
+            pltpu.VMEM((COMPACT_GROUPS * cg_pg, 1), jnp.float32),
+            pltpu.VMEM((COMPACT_GROUPS * cg_pg, 1), jnp.float32),
+            pltpu.VMEM((COMPACT_GROUPS * cg_pg, 3), jnp.float32),
+            pltpu.VMEM((COMPACT_GROUPS * cg_pg, 1), jnp.float32),
+            pltpu.SMEM((1 + COMPACT_GROUPS,), jnp.int32),
         ],
     )
 
@@ -333,9 +518,8 @@ def rasterize_tiles(bins: TileBins, h: int, w: int, config: RenderConfig,
     )(bins.tile_start, bins.tile_end, bins.features)
 
     # untile: (3, T, bs0, bs1) -> (H, W, 3).  Linear pixel index
-    # p = sublane*bs1 + lane decomposes as (g, q) = (p // 128-ish block
-    # grouping) per the kernel's group mapping: g = gy*gx_n + gx,
-    # q = qy*bw + qx, pixel = (gy*bh + qy, gx*bw + qx).
+    # r = sublane*bs1 + lane decomposes per the kernel's group mapping:
+    # (g, q) = (r // pg, r % pg), pixel = (gy*bh + q//bw, gx*bw + q%bw).
     img = out.reshape(3, nty, ntx, gy_n, gx_n, bh, bw)
     img = img.transpose(1, 3, 5, 2, 4, 6, 0).reshape(
         nty * th, ntx * tw, 3)

@@ -126,6 +126,20 @@ class GaussianScene:
     def slice(self, start: int, stop: int) -> "GaussianScene":
         return jax.tree.map(lambda a: a[start:stop], self)
 
+    def permuted(self, seed: int = 0) -> "GaussianScene":
+        """Randomly permute the gaussian order (host-side).
+
+        Rendering is order-independent (depth sorting happens per frame),
+        but SHARDING is not: the a2a slab routing's per-(src, dst)
+        capacity assumes shards are spatially uncorrelated, and scenes
+        stored in spatial order (common in pretrained .ply exports) can
+        concentrate a whole shard into one slab (measured on the surface
+        fixture — scripts/a2a_crossover.py).  Shuffle once before
+        sharding to restore the i.i.d. assumption.
+        """
+        perm = np.random.default_rng(seed).permutation(self.num_gaussians)
+        return jax.tree.map(lambda a: a[perm], self)
+
     def to_device(self, device=None) -> "GaussianScene":
         """Pin all leaves in device memory (one transfer; subsequent jit
         calls reuse the resident buffers instead of re-uploading)."""

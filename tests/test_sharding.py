@@ -98,6 +98,34 @@ def test_render_sharded_tiled_a2a_overflow_reported():
     assert int(overflow) > 0
 
 
+def test_a2a_uneven_slab_loads_cap_binds():
+    """Uneven slab loads at moderate N where the default cap formula
+    actually binds (round-2 review: the crossover math was asserted,
+    never exercised).  A spatially-ORDERED scene concentrates whole
+    shards into single slabs, overflowing the per-(src, dst) cap — the
+    count must surface, the permuted scene must shrink it, and the
+    gather route must render the same frame exactly."""
+    from splat_tpu.parallel.sharding import render_sharded_tiled
+    from splat_tpu.utils.fixtures import surface_scene
+
+    scene = surface_scene(16384, seed=0)  # stored in spatial order
+    cam = Camera.create(h=128, w=128, position=(0.0, 0.0, 4.0))
+    mesh = make_mesh(n_data=1, n_gaussian=8)
+    config = RenderConfig(chunk=128)
+    img_a2a, ov = render_sharded_tiled(scene, cam, mesh, config,
+                                       route="a2a")
+    assert int(ov) > 0  # clustered shards overflow the min(1,4/8) cap
+    _, ov_p = render_sharded_tiled(scene.permuted(), cam, mesh, config,
+                                   route="a2a")
+    assert int(ov_p) < int(ov)
+    img_gather, ov_g = render_sharded_tiled(scene, cam, mesh, config,
+                                            route="gather")
+    assert int(ov_g) == 0
+    # overflow drops the DEEPEST records: the truncated a2a image must
+    # still be close to the exact gather one (graceful degradation)
+    assert psnr(np.asarray(img_a2a), np.asarray(img_gather)) >= 30.0
+
+
 def test_render_sharded_tiled_checked():
     """The checked wrapper mirrors render_tiled_checked: clean frames pass
     through, any routing/binning truncation raises instead of returning a

@@ -201,15 +201,36 @@ class TestTiledRender:
     def test_subtile_exit_matches_whole_tile(self, small_random_scene):
         """The per-pixel-group saturation exit is a pure scheduling
         change: identical front-to-back math on disjoint pixel sets, so
-        the image must match the whole-tile-exit kernel exactly."""
+        the image must match the whole-tile-exit kernel exactly.
+        subtile_heavy_pairs=0 forces EVERY tile onto the grouped path
+        (small CPU scenes never clear the default threshold)."""
         cam = Camera.create(h=96, w=160, position=(0.0, 0.0, 4.0))
-        a = np.asarray(render_tiled(small_random_scene, cam,
-                                    _cfg(subtile_exit=True),
-                                    interpret=True))
         b = np.asarray(render_tiled(small_random_scene, cam,
                                     _cfg(subtile_exit=False),
                                     interpret=True))
-        np.testing.assert_allclose(a, b, atol=1e-6)
+        for cfg in (_cfg(subtile_exit=True),
+                    _cfg(subtile_exit=True, subtile_heavy_pairs=0)):
+            a = np.asarray(render_tiled(small_random_scene, cam, cfg,
+                                        interpret=True))
+            np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_compaction_phase_exact(self):
+        """Heavy-path phase compaction must be exact on a scene that
+        actually triggers it: an opaque surface occluding most pixels
+        with open background behind — the silhouette-tile structure the
+        compact phase exists for.  subtile_heavy_pairs=0 forces every
+        tile through the heavy path."""
+        from splat_tpu.utils.fixtures import surface_scene
+
+        scene = surface_scene(4000, seed=3)
+        cam = Camera.create(h=96, w=160, position=(0.0, -0.5, 3.0))
+        base = np.asarray(render_tiled(scene, cam,
+                                       _cfg(subtile_exit=False),
+                                       interpret=True))
+        compact = np.asarray(render_tiled(
+            scene, cam, _cfg(subtile_exit=True, subtile_heavy_pairs=0),
+            interpret=True))
+        np.testing.assert_allclose(compact, base, atol=1e-6)
 
     def test_radius_sentinel_screen_filling_splat(self):
         """A splat whose bbox half-extent exceeds the 15-bit 1/8-px field
