@@ -110,12 +110,20 @@ def main():
                 check("default", RenderConfig()),
                 check("expand=xla", RenderConfig(expand_impl="xla")),
                 check("tile64", RenderConfig(tile_px=64)),
-                check("tile32x16", RenderConfig(tile_py=16)),
+                # rect tiles span more tiles per splat (+~30% pairs;
+                # this 5k-splat scene has large footprints): dup 8
+                check("tile32x16", RenderConfig(tile_py=16,
+                                                max_dup_factor=8.0)),
                 check("cull_pairs", RenderConfig(cull_pairs=True)),
                 check("exact_accum",
                       RenderConfig(exact_color_accum=True)),
-                check("grouped_exit",
-                      RenderConfig(subtile_heavy_pairs=0)),
+                check("compaction",
+                      RenderConfig(subtile_exit=True,
+                                   subtile_heavy_pairs=0)),
+                check("transmit_vpu",
+                      RenderConfig(transmit_mxu=False)),
+                check("transmit_mxu",
+                      RenderConfig(transmit_mxu=True)),
                 # the bench operating point's resolution (ADVICE r2: the
                 # u16-feature + bf16-accum headline was measured at one
                 # 800x600 point; this catches precision stacking with

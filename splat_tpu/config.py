@@ -102,17 +102,22 @@ class RenderConfig:
     # gated for further iteration.  Tiles not divisible into 8x16 blocks
     # degrade to whole-tile automatically.
     subtile_exit: bool = False
-    # Pair-range length above which a tile switches to the per-group
-    # walk.  Below it the possible savings can't repay the bookkeeping.
-    subtile_heavy_pairs: int = 4096
+    # Pair-range length above which a tile runs the phase-compaction
+    # walk.  Below it the possible savings can't repay the bookkeeping;
+    # 8192 keeps the uniform random benchmark scene (max tile ~5.6k
+    # pairs) entirely on the zero-overhead light path.
+    subtile_heavy_pairs: int = 8192
     # Compute the per-window transmittance prefix on the MXU instead of
     # the VPU: log1p(-alpha), ONE strictly-triangular-ones matmul as the
     # exclusive prefix sum (two exact bf16 passes via Dekker bit-split —
     # never the f32(bf16(x)) round-trip, which XLA's excess-precision
     # pass elides), then exp.  Replaces the 7-level shifted-multiply
     # prefix product (~14 VPU passes per window) with ~4 passes plus MXU
-    # work that overlaps the VPU.
-    transmit_mxu: bool = False
+    # work that overlaps the VPU.  Default ON: measured 50.4 -> 42.8 ms
+    # (random 1M@1080p) and 52.2 -> 40.2 ms (surface); parity-tested vs
+    # the VPU prefix (tests/test_tiled.py) and in the on-chip sweep
+    # (scripts/devtime.py --psnr-sweep).
+    transmit_mxu: bool = True
     # Color accumulation matmul precision in the raster kernel.  False
     # (default): one bf16 MXU pass with f32 accumulation — measured
     # 70.3 dB vs the oracle on-chip (threshold 45), ~3.8 ms/frame faster

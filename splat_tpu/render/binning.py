@@ -478,10 +478,15 @@ def _sort_and_gather(key, pair, *, sorted_rank_bits: int, key_xor: int,
 
     # -- 6. feature gather: the one unavoidable K-gather, feature-major ----
     # Each sorted pair pulls its gaussian's packed 32-byte feature column
-    # from the DEPTH-ORDERED table in a single index operation; chunk
-    # zero-padding keeps the kernel's fixed-size DMA in bounds.
-    features = jnp.pad(jnp.take(feats_d, sorted_rank, axis=1),
-                       ((0, 0), (0, config.chunk)))            # (8, Kp)
+    # from the DEPTH-ORDERED table in a single index operation.  The
+    # kernel's fixed-size window DMA can read up to `chunk` columns past
+    # the last pair, so the INDEX vector is padded (128 extra indices,
+    # ~free) rather than the gathered table (a full (8, K) copy); the
+    # padding columns replicate column 0 — harmless, since the kernel
+    # masks every lane by its global index against the tile's [s, e).
+    idx = jnp.concatenate(
+        [sorted_rank, jnp.zeros((config.chunk,), jnp.int32)])
+    features = jnp.take(feats_d, idx, axis=1)                  # (8, Kp)
     if debug_stage == "gather":
         return jnp.sum(features)
 

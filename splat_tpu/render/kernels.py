@@ -81,8 +81,12 @@ GROUP_H = 8
 SAT_CHECK_EVERY = 8
 
 # Pixel groups carried into the compact phase of a heavy tile's walk
-# (COMPACT_GROUPS * 128 = 256 compact rows — a quarter-width tail walk).
-COMPACT_GROUPS = 2
+# (COMPACT_GROUPS * 128 = 512 compact rows — a half-width tail walk).
+# Measured on the surface scene at 1M@1080p: a quarter-width buffer (2
+# groups) rarely engaged — silhouette tiles commonly hold 3-6 live
+# groups deep into their range — while half-width qualifies most of the
+# heavy tail.
+COMPACT_GROUPS = 4
 
 
 def group_grid(tile_w: int, tile_h: int, subtile: bool):
@@ -236,7 +240,13 @@ def _raster_kernel(
             # (exact in bf16) and each split part fits a bf16 mantissa.
             # Replaces the 7-level shifted-multiply prefix (~14 VPU
             # passes) with ~4 VPU passes + MXU work that overlaps.
-            x = jnp.log1p(-jnp.minimum(alpha, 0.999999))
+            # alpha <= alpha_clamp (0.99) already, so log1p's argument is
+            # bounded away from -1 with no extra (rows, chunk) clamp pass;
+            # only guard when a caller configures alpha_clamp ~ 1.
+            if alpha_clamp < 0.999999:
+                x = jnp.log1p(-alpha)
+            else:
+                x = jnp.log1p(-jnp.minimum(alpha, 0.999999))
             xb = jax.lax.bitcast_convert_type(
                 jax.lax.bitcast_convert_type(x, jnp.int32)
                 & ~jnp.int32(0xFFFF),
@@ -394,10 +404,15 @@ def _raster_kernel(
                 def _(k=k, lo=lo, hi=hi):
                     g = meta_ref[1 + k]
                     r0 = g * pg
-                    cpx_ref[lo:hi, :] = jax.lax.dynamic_slice(
-                        pxf_all, (r0, 0), (pg, 1))
-                    cpy_ref[lo:hi, :] = jax.lax.dynamic_slice(
-                        pyf_all, (r0, 0), (pg, 1))
+                    # group g's pixel coords recomputed from its id
+                    # (Mosaic cannot dynamic-slice VALUES, only refs)
+                    q = jax.lax.broadcasted_iota(jnp.int32, (pg, 1), 0)
+                    cpx_ref[lo:hi, :] = (
+                        tile_x * tile_w + (g % gx_n) * bw
+                        + q % bw).astype(jnp.float32)
+                    cpy_ref[lo:hi, :] = (
+                        tile_y * tile_h + (g // gx_n) * bh
+                        + q // bw).astype(jnp.float32)
                     cimg_ref[lo:hi, :] = img_ref[pl.ds(r0, pg), :]
                     ctr_ref[lo:hi, :] = tr_ref[pl.ds(r0, pg), :]
 

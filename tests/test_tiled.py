@@ -214,6 +214,19 @@ class TestTiledRender:
                                         interpret=True))
             np.testing.assert_allclose(a, b, atol=1e-6)
 
+    def test_transmit_mxu_matches_cumprod(self, small_random_scene):
+        """The MXU log-space transmittance prefix (Dekker-split
+        triangular matmul) must agree with the VPU prefix product to
+        f32 round-off."""
+        cam = Camera.create(h=96, w=160, position=(0.0, 0.0, 4.0))
+        a = np.asarray(render_tiled(small_random_scene, cam,
+                                    _cfg(transmit_mxu=False),
+                                    interpret=True))
+        b = np.asarray(render_tiled(small_random_scene, cam,
+                                    _cfg(transmit_mxu=True),
+                                    interpret=True))
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
     def test_compaction_phase_exact(self):
         """Heavy-path phase compaction must be exact on a scene that
         actually triggers it: an opaque surface occluding most pixels
