@@ -47,8 +47,11 @@ def main():
                     help="enable the per-pixel-group saturation exit "
                          "(heavy tiles; default off pending a winning "
                          "implementation)")
-    ap.add_argument("--mxutr", action="store_true",
-                    help="transmittance prefix via MXU triangular cumsum")
+    ap.add_argument("--mxutr", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="transmittance prefix via MXU triangular cumsum "
+                         "(the config default; --no-mxutr measures the "
+                         "VPU prefix)")
     ap.add_argument("--packed", action="store_true",
                     help="use the feature-major DeviceScene "
                          "(scene.pack_device()) instead of GaussianScene")
@@ -164,7 +167,10 @@ def main():
         if args.stage == "bins":
             p = project_gaussians(scene, c, config)
             b = build_tile_bins(p, args.h, args.w, config)
-            return (jnp.sum(b.tile_end) + b.num_pairs).astype(jnp.float32)
+            # consume the FEATURES too: without this the entire K-gather
+            # is DCE'd and the stage under-reports by ~10 ms (rule 10)
+            return (jnp.sum(b.tile_end) + b.num_pairs
+                    + jnp.sum(b.features)).astype(jnp.float32)
         if args.stage.startswith("bins_"):
             p = project_gaussians(scene, c, config)
             v = build_tile_bins(p, args.h, args.w, config,
