@@ -66,7 +66,10 @@ def main() -> None:
     # scan setup amortize to the sustained throughput.
     frames = int(os.environ.get("SPLAT_BENCH_FRAMES", 60))
     dup = float(os.environ.get("SPLAT_BENCH_DUP", 2.05))
-    dup_surface = float(os.environ.get("SPLAT_BENCH_DUP_SURFACE", 1.6))
+    # surface sweeps at 1.334M pairs flat (max over 60 frames); 1.45
+    # leaves 8.6% headroom and measured 38.9 vs 41.0 ms at 1.6 (the
+    # audit zeroes the score if any frame ever overflows it)
+    dup_surface = float(os.environ.get("SPLAT_BENCH_DUP_SURFACE", 1.45))
 
     # SPLAT_BENCH_SCENE picks the headline scene and skips the other;
     # unset, both run (random is the headline, surface is recorded).

@@ -39,7 +39,7 @@ class RenderConfig:
         the height too, unless tile_py is set).  32 is the measured
         1080p sweet spot.  At 4K keep the tile grid + rank bits within
         the 32-bit key budget for the fast expansion path: tile 64 at
-        3840x2160 with 1M gaussians runs 122 ms on v5e (pairs also drop
+        3840x2160 with 1M gaussians runs 73 ms on v5e (pairs also drop
         vs tile 32, whose 4K grid overflows the budget and takes the
         XLA fallback).
       block_shape: (sublanes, lanes) layout of one tile's pixels inside the

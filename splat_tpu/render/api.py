@@ -93,6 +93,14 @@ def render(scene, camera: Camera, config: RenderConfig | None = None,
     """
     config = config or RenderConfig()
     m = resolve_method(method, scene)
+    if m == "tiled":
+        from splat_tpu.scene import GaussianScene
+        if isinstance(scene, GaussianScene):
+            # Feature-major DeviceScene is the tiled hot-path layout
+            # ((N,) component streams; (N, 3)/(N, 16, 3) jit inputs pay
+            # strided column reads — CLAUDE.md rule 15).  Hot loops
+            # should pack ONCE and reuse: scene.pack_device().
+            scene = scene.pack_device()
     if m == "tiled" and check_overflow:
         from splat_tpu.render.tiled import render_tiled_checked
         img = render_tiled_checked(scene, camera, config)

@@ -227,6 +227,21 @@ class TestTiledRender:
                                     interpret=True))
         np.testing.assert_allclose(a, b, atol=2e-5)
 
+    def test_public_render_autopacks_host_scene(self, small_random_scene):
+        """The convenience render() must route a host GaussianScene
+        through the feature-major DeviceScene hot path (auto-pack) and
+        produce the same pixels as an explicit pack_device().  (ulp-level
+        tolerance: the checked wrapper's return_stats program fuses
+        differently from the plain one.)"""
+        from splat_tpu.render.api import render
+        cam = Camera.create(h=96, w=160, position=(0.0, 0.0, 4.0))
+        cfg = _cfg()
+        a = np.asarray(render(small_random_scene, cam, cfg,
+                              method="tiled"))
+        b = np.asarray(render_tiled(small_random_scene.pack_device(),
+                                    cam, cfg, interpret=True))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
     def test_compaction_phase_exact(self):
         """Heavy-path phase compaction must be exact on a scene that
         actually triggers it: an opaque surface occluding most pixels
