@@ -228,6 +228,12 @@ def cmd_info(args) -> int:
 
     scene = _load(args)
     d = scene.to_numpy()
+    if scene.num_gaussians == 0:   # reductions below have no identity
+        stats = {"num_gaussians": 0,
+                 "memory_mb": round(sum(a.nbytes
+                                        for a in d.values()) / 2 ** 20, 1)}
+        print(json.dumps(stats, indent=2))
+        return 0
     stats = {
         "num_gaussians": int(scene.num_gaussians),
         "extent": {

@@ -134,7 +134,7 @@ def arrays_to_scene(fields: dict[str, np.ndarray], *,
             raise PlyError(f"missing required property {req!r}")
     n = fields["x"].shape[0]
     xyz = np.stack([fields["x"], fields["y"], fields["z"]], axis=1)
-    if center:
+    if center and n > 0:   # n == 0: mean of empty slice is NaN-noise
         xyz = xyz - xyz.mean(axis=0, keepdims=True)
 
     scales = np.exp(np.stack(
@@ -210,7 +210,8 @@ def save_ply(path: str | os.PathLike, scene: GaussianScene) -> None:
         cols.append((name, np.zeros(n, np.float32)))
     for i in range(3):
         cols.append((f"f_dc_{i}", d["sh"][:, 0, i]))
-    rest = d["sh"][:, 1:, :].transpose(0, 2, 1).reshape(n, -1)  # channel-major
+    # channel-major; explicit 45 (not -1: NumPy cannot infer it at n=0)
+    rest = d["sh"][:, 1:, :].transpose(0, 2, 1).reshape(n, 45)
     for i in range(rest.shape[1]):
         cols.append((f"f_rest_{i}", rest[:, i]))
     cols.append(("opacity", np.log(op / (1 - op))))

@@ -48,7 +48,7 @@ def load_ply_native(path: str | os.PathLike, *,
     if rc != 0:
         raise NativeUnsupported(lib.splat_ply_last_error().decode())
 
-    if center:
+    if center and means.shape[0] > 0:   # empty-slice mean is NaN-noise
         means -= means.mean(axis=0, keepdims=True)
     return GaussianScene.create(means=means, quats=quats, scales=scales,
                                 opacities=opac, sh=sh)

@@ -30,6 +30,16 @@ def render_tiled(scene, camera: Camera, config: RenderConfig | None = None,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     h, w = camera.h, camera.w
+    if scene.num_gaussians == 0:  # static: binning has no N=0 shape
+        img = jnp.broadcast_to(
+            jnp.asarray(config.background, jnp.float32),
+            (h, w, 3)).astype(jnp.float32)
+        if return_stats:
+            z = jnp.int32(0)
+            return img, {"num_pairs": z, "overflow": z, "visible": z,
+                         "max_tile_pairs": z,
+                         "mean_tile_pairs": jnp.float32(0.0)}
+        return img
     proj = project_gaussians(scene, camera, config)
     bins = build_tile_bins(proj, h, w, config, interpret=interpret)
     img = rasterize_tiles(bins, h, w, config, interpret=interpret)

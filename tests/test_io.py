@@ -116,6 +116,21 @@ def test_trim(tmp_path):
                                atol=1e-5)
 
 
+def test_empty_scene_ply_roundtrip(tmp_path):
+    """A zero-gaussian scene must save, load, and trim without error
+    (regressions: reshape(0, -1) in save_ply; NaN empty-slice centering;
+    CLI info reductions with no identity)."""
+    import warnings
+    scene = random_scene(0, seed=0)
+    p = tmp_path / "empty.ply"
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")          # NaN-mean warns -> fail
+        save_ply(p, scene)
+        back = load_ply(p)                      # center=True path
+    assert back.num_gaussians == 0
+    assert trim_ply(p, tmp_path / "z.ply", count=0) == 0
+
+
 def test_npz_cache_roundtrip(tmp_path):
     scene = naive_gaussians()
     p = tmp_path / "c.npz"

@@ -242,6 +242,25 @@ class TestTiledRender:
                                     cam, cfg, interpret=True))
         np.testing.assert_allclose(a, b, atol=1e-6)
 
+    def test_empty_scene_renders_background(self):
+        """A zero-gaussian scene must render pure background through the
+        tiled path (the binning pipeline has no N=0 shape; regression:
+        cum[-1] IndexError)."""
+        from splat_tpu.render.api import render
+        from splat_tpu.utils.fixtures import random_scene
+        cam = Camera.create(h=64, w=64, position=(0.0, 0.0, 4.0))
+        cfg = _cfg(background=(0.25, 0.5, 0.75))
+        img, stats = render_tiled(random_scene(0, seed=0), cam, cfg,
+                                  return_stats=True)
+        assert np.asarray(img).shape == (64, 64, 3)
+        np.testing.assert_allclose(
+            np.asarray(img)[0, 0], [0.25, 0.5, 0.75])
+        assert int(stats["num_pairs"]) == 0
+        # and through the public checked wrapper
+        img2 = np.asarray(render(random_scene(0, seed=0), cam, cfg,
+                                 method="tiled"))
+        np.testing.assert_allclose(img2[-1, -1], [0.25, 0.5, 0.75])
+
     def test_compaction_phase_exact(self):
         """Heavy-path phase compaction must be exact on a scene that
         actually triggers it: an opaque surface occluding most pixels
