@@ -18,7 +18,10 @@ Semantics (and deliberate deviations from reference quirks, per SURVEY §7):
   approximation of this; local +y points up: dy = cy - py);
 * alpha cutoff tests alpha (the notebook's cell-3 bug tests a stale
   ``opacity`` variable — SURVEY §2.1 'Notebook prototype');
-* back-to-front 'over' compositing onto a black background, float32
+* back-to-front 'over' compositing onto the config.background canvas
+  (the reference clears its framebuffer to 0 each frame, src/main.rs:73;
+  a nonzero background is this engine's extension and must match the
+  tiled path's front-to-back "+ T * background" term exactly), float32
   accumulation, final clip to [0, 1].
 """
 
@@ -119,7 +122,8 @@ def render_oracle(scene, camera, config: RenderConfig | None = None):
     z_cam = (d["means"] @ view[:3, :3].T + view[:3, 3])[:, 2]
     order = np.argsort(z_cam, kind="stable")
 
-    img = np.zeros((h, w, 3), np.float64)
+    img = np.broadcast_to(
+        np.asarray(config.background, np.float64), (h, w, 3)).copy()
     for i in order:
         mean = d["means"][i]
         pos_cam = view[:3, :3] @ mean + view[:3, 3]

@@ -75,6 +75,22 @@ def test_background_composited():
     np.testing.assert_allclose(img[0, 0], [1.0, 0.0, 0.0], atol=1e-5)
 
 
+def test_background_matches_oracle(small_random_scene):
+    """Nonzero background parity vs the oracle (fuzzer-found regression:
+    the oracle used to composite onto black regardless of
+    config.background, so every colored-background comparison scored
+    ~8 dB while the renderers agreed with each other)."""
+    cam = Camera.create(h=64, w=64, position=(1.2, 1.6, 3.7),
+                        yaw=0.23, pitch=0.04)
+    config = RenderConfig(background=(0.54, 0.30, 0.42))
+    ours = np.asarray(render_dense(small_random_scene, cam, config))
+    gold = render_oracle(small_random_scene, cam, config)
+    p = psnr(ours, gold)
+    assert p >= 45.0, f"PSNR {p:.2f} dB < 45"
+    # the background must actually be visible somewhere (non-covered pixel)
+    assert np.any(np.all(np.abs(gold - [0.54, 0.30, 0.42]) < 1e-6, axis=-1))
+
+
 def test_alpha_properties(small_random_scene):
     """Property test: output in [0,1], finite, deterministic."""
     cam = Camera.create(h=64, w=64, position=(0.0, 0.0, 4.0))
