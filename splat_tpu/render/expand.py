@@ -48,17 +48,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Output slots per inner block; owner window per block.  WP = B + 256
-# covers the 128-alignment slack (<=127) plus the <= B+1 owners a B-slot
-# block can have (first_slot is strictly increasing over visible
-# gaussians; invisible ones sort to the tail).  Each inner block writes
-# one (1, BLOCK) output row — a dynamic-sublane store with static lane
-# layout, which Mosaic handles natively.  Per-slot compare AND matmul
-# cost scale with WINDOW = BLOCK + 256, so SMALLER blocks are cheaper
-# per slot; BLOCK=256 balances that against grid/DMA overhead
-# (BLOCKS_PER_PROG keeps programs coarse: 4096 slots each).
+# Output slots per inner block; owner window per block.  A B-slot block's
+# owners are CWIN = 128 + B consecutive table columns: the 128-alignment
+# slack (<=127) plus the <= B+1 owners a block can have (first_slot is
+# strictly increasing over visible gaussians; invisible ones sort to the
+# tail), so rel owner indices lie in [0, CWIN - 1].  The DMA window is one
+# 128-lane grain wider (WINDOW = CWIN + 128): the one-hot construction
+# needs fs[j + 1] for the last owner column, and lane sizes must stay
+# 128-aligned anyway.  Compares and the one-hot matmul contract over CWIN
+# only — at CWIN = 384 that is 3 MXU chunks instead of the 4 a
+# full-window contraction pays (measured ~0.9 ms/frame at K=2.05M).
+# Per-slot compare AND matmul cost scale with CWIN, so SMALLER blocks are
+# cheaper per slot; BLOCK=256 balances that against grid/DMA overhead
+# (BLOCKS_PER_PROG keeps programs coarse: 4096 slots each).  Each inner
+# block writes one (1, BLOCK) output row — a dynamic-sublane store with
+# static lane layout, which Mosaic handles natively.
 BLOCK = 256
-WINDOW = 512
+CWIN = BLOCK + 128
+WINDOW = CWIN + 128
 BLOCKS_PER_PROG = 16
 
 # The byte-split value rows force these bounds; binning falls back to the
@@ -83,10 +90,10 @@ def _expand_kernel(seg_ref, total_ref, table_hbm, out_ref, win, sem,
 
     k_col = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
     k_row = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
-    j_row = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW - 1), 1)
+    j_row = jax.lax.broadcasted_iota(jnp.int32, (1, CWIN), 1)
     j_bytes = jnp.concatenate([
         (j_row & 255).astype(jnp.float32),
-        (j_row >> 8).astype(jnp.float32)])              # (2, WINDOW-1)
+        (j_row >> 8).astype(jnp.float32)])              # (2, CWIN)
 
     def body(t, _):
         blk = prog * BLOCKS_PER_PROG + t
@@ -100,25 +107,30 @@ def _expand_kernel(seg_ref, total_ref, table_hbm, out_ref, win, sem,
         def _():
             dma(jax.lax.rem(t + 1, 2), blk + 1).start()
 
-        # first_slot reconstructed from its byte rows (exact <= 2^24)
-        fs = w[0:1, :] + 256.0 * w[1:2, :] + 65536.0 * w[2:3, :]  # (1, WP)
-        le = fs <= (k0 + k_col).astype(jnp.float32)     # (B, WP)
-        onehot = le[:, :WINDOW - 1] & jnp.logical_not(le[:, 1:WINDOW])
-        onehot = onehot.astype(jnp.bfloat16)            # (B, WP-1)
+        # first_slot reconstructed from its byte rows (exact <= 2^24).
+        # All owners live in the first CWIN columns (see the constants
+        # comment); only the one-hot's j+1 neighbor peeks at column CWIN,
+        # so compares and the contraction run at CWIN width — one MXU
+        # chunk narrower than the full DMA window.
+        fs = (w[0:1, :CWIN + 1] + 256.0 * w[1:2, :CWIN + 1]
+              + 65536.0 * w[2:3, :CWIN + 1])            # (1, CWIN+1)
+        le = fs <= (k0 + k_col).astype(jnp.float32)     # (B, CWIN+1)
+        onehot = le[:, :CWIN] & jnp.logical_not(le[:, 1:CWIN + 1])
+        onehot = onehot.astype(jnp.bfloat16)            # (B, CWIN)
 
         if cull:
             # row 5 packs sw + 256*r8; rows 6/7 are cx8/cy8 (see
             # expand_pair_keys) — decompose before the matmul so every
             # value row stays <= 255 (bf16-exact).
-            comb = w[5:6, :WINDOW - 1]
+            comb = w[5:6, :CWIN]
             r8_row = jnp.floor(comb * (1.0 / 256.0))
             sw_row = comb - 256.0 * r8_row
-            vrows = [w[0:5, :WINDOW - 1], sw_row,
-                     w[6:8, :WINDOW - 1], r8_row, j_bytes]
+            vrows = [w[0:5, :CWIN], sw_row,
+                     w[6:8, :CWIN], r8_row, j_bytes]
         else:
-            vrows = [w[0:6, :WINDOW - 1], j_bytes]
+            vrows = [w[0:6, :CWIN], j_bytes]
         values = jnp.concatenate(vrows).astype(jnp.bfloat16)
-        # (R, WP-1) x (B, WP-1) contracted on dim 1 -> (R, B); single-pass
+        # (R, CWIN) x (B, CWIN) contracted on dim 1 -> (R, B); single-pass
         # bf16 is exact: lhs bytes <= 255, rhs is one-hot, accum f32.
         res = jax.lax.dot_general(
             values, onehot, (((1,), (1,)), ((), ())),
