@@ -131,3 +131,47 @@ def test_expand_empty_scene():
                         target=(0.0, 0.0, 100.0))
     bins = _compare(scene, cam)
     assert int(bins.num_pairs) == 0
+
+
+def test_owner_window_bound_edge():
+    """Adversarial owner-span case for the CWIN contraction bound: with
+    counts = [2, 1, 1, ...] every 256-slot block's window start lands at
+    an odd slot index, so the 128-align-down slack is 127 and the block's
+    257th owner candidate sits exactly at relative column 383 = CWIN - 1
+    (render/expand.py constants comment).  Keys are checked against a
+    direct NumPy model of the expansion."""
+    import jax.numpy as jnp
+    from splat_tpu.render import expand as _expand
+
+    n = 700
+    counts = np.ones(n, np.int64)
+    counts[0] = 2
+    first_slot = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(counts.sum())
+    ntx, nty = 7, 5
+    num_tiles = ntx * nty
+    tx0 = (np.arange(n) % (ntx - 1)).astype(np.int32)  # sw=2 fits for g0
+    ty0 = ((np.arange(n) // 7) % nty).astype(np.int32)
+    sw = np.ones(n, np.int32)
+    sw[0] = 2
+    bits_rank = max(int(n - 1).bit_length(), 1)
+    k_cap = _expand.BLOCK * _expand.BLOCKS_PER_PROG  # one grain = 4096
+
+    key = np.asarray(_expand.expand_pair_keys(
+        jnp.asarray(first_slot, jnp.int32), jnp.asarray(tx0),
+        jnp.asarray(ty0), jnp.asarray(sw), jnp.asarray(total, jnp.int32),
+        n=n, k_cap=k_cap, ntx=ntx, num_tiles=num_tiles,
+        bits_rank=bits_rank, tile_wh=(16, 16), key_xor=0,
+        interpret=True))
+
+    # NumPy model: owner(k) = searchsorted(first_slot, k, 'right') - 1
+    slots = np.arange(k_cap)
+    owner = np.searchsorted(first_slot, slots, side="right") - 1
+    owner = np.clip(owner, 0, n - 1)
+    r = slots - first_slot[owner]
+    dy = r // sw[owner]
+    dx = r - dy * sw[owner]
+    tile = (ty0[owner] + dy) * ntx + tx0[owner] + dx
+    want = (tile << bits_rank) | owner
+    want = np.where(slots < total, want, (num_tiles << bits_rank) | owner)
+    np.testing.assert_array_equal(key, want.astype(np.int32))
