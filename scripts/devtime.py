@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import math
 import os
 import sys
 import time
@@ -52,6 +53,9 @@ def main():
                     help="transmittance prefix via MXU triangular cumsum "
                          "(the config default; --no-mxutr measures the "
                          "VPU prefix)")
+    ap.add_argument("--sigma-inf", action="store_true",
+                    help="sigma_cutoff=inf: truncation-free bboxes, raster "
+                         "kernel statically drops its bbox compares")
     ap.add_argument("--packed", action="store_true",
                     help="use the feature-major DeviceScene "
                          "(scene.pack_device()) instead of GaussianScene")
@@ -132,6 +136,11 @@ def main():
                 # 800x600 point; this catches precision stacking with
                 # 1080p-scale conics/radii)
                 check("1080p", RenderConfig(), n=20000, h=1080, w=1920),
+                # truncation-free mode: bbox compares statically dropped
+                # from the kernel (alpha test subsumes them)
+                check("sigma_inf",
+                      RenderConfig(sigma_cutoff=math.inf,
+                                   max_dup_factor=6.0)),
             ]
         if min(ps) < 45.0:
             raise SystemExit(1)
@@ -151,7 +160,9 @@ def main():
                           chunk=args.chunk, max_dup_factor=args.dup,
                           cull_pairs=(args.nocull is False),
                           subtile_exit=args.subtile,
-                          transmit_mxu=args.mxutr)
+                          transmit_mxu=args.mxutr,
+                          sigma_cutoff=(math.inf if args.sigma_inf
+                                        else 3.0))
 
     f_frames = args.frames
 

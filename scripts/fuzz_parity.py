@@ -9,6 +9,10 @@ asserts PSNR >= 45 dB plus overflow-count consistency.  Run on CPU
 
 Any failing case prints its full recipe so it can be distilled into a
 regression test.
+
+--sharded additionally runs each case through the multi-chip tiled path
+(render_sharded_tiled) on a virtual CPU mesh, over both routing modes;
+launch with XLA_FLAGS=--xla_force_host_platform_device_count=8.
 """
 
 from __future__ import annotations
@@ -25,17 +29,28 @@ def main():
     ap.add_argument("--cases", type=int, default=40)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--min-psnr", type=float, default=45.0)
+    ap.add_argument("--sharded", action="store_true")
     args = ap.parse_args()
 
     import jax
-    if jax.default_backend() != "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    # Pin BEFORE any backend probe: the container's sitecustomize pins
+    # jax_platforms="axon,cpu" and a default_backend() call would grab
+    # the TPU tunnel (and leave jax.devices() on the axon platform).
+    jax.config.update("jax_platforms", "cpu")
     import numpy as np
     import splat_tpu as st
     from splat_tpu.config import RenderConfig
     from splat_tpu.render.oracle import render_oracle
     from splat_tpu.render.tiled import render_tiled
     from splat_tpu.utils.image import psnr
+
+    if args.sharded:
+        from splat_tpu.parallel.sharding import (make_mesh,
+                                                 render_sharded_tiled)
+        n_dev = len(jax.devices())
+        if n_dev < 8:
+            sys.exit("--sharded needs XLA_FLAGS="
+                     "--xla_force_host_platform_device_count=8")
 
     rng = np.random.default_rng(args.seed)
     failures = 0
@@ -58,11 +73,19 @@ def main():
             tile_y = 0
         if (tile * (tile_y or tile)) % 128:
             tile = 16; tile_y = 8
+        if args.sharded:
+            n_g = int(rng.choice([2, 4, 8]))
+            route = str(rng.choice(["a2a", "gather"]))
+            cap = float(rng.choice([0.0, 1.0]))  # 0 -> default cap
+            h = -(-h // n_g) * n_g
         cam = st.Camera.create(
             h=h, w=w,
             position=tuple(rng.uniform(-1, 1, 3) * [2, 2, 1] + [0, 0, 3.5]),
             yaw=float(rng.uniform(-0.5, 0.5)),
             pitch=float(rng.uniform(-0.5, 0.5)))
+        # inf = truncation-free mode (kernel skips its bbox compares);
+        # it requires tight_radius, which is otherwise drawn freely
+        sigma_cutoff = float(rng.choice([3.0, 3.0, 3.0, float("inf")]))
         config = RenderConfig(
             tile_px=tile, tile_py=tile_y,
             chunk=int(rng.choice([64, 128])),
@@ -73,18 +96,35 @@ def main():
             subtile_heavy_pairs=int(rng.choice([0, 256, 8192])),
             transmit_mxu=bool(rng.random() < 0.7),
             exact_color_accum=bool(rng.random() < 0.3),
-            tight_radius=bool(rng.random() < 0.8),
+            sigma_cutoff=sigma_cutoff,
+            tight_radius=(True if sigma_cutoff == float("inf")
+                          else bool(rng.random() < 0.8)),
             expand_impl=str(rng.choice(["auto", "xla"])),
             background=tuple(rng.uniform(0, 1, 3)))
         recipe = (f"case {case}: kind={kind} n={scene.num_gaussians} "
-                  f"h={h} w={w} cfg={config}")
+                  f"h={h} w={w} cfg={config}"
+                  + (f" n_g={n_g} route={route} cap={cap}"
+                     if args.sharded else ""))
         try:
-            img, stats = render_tiled(scene.pack_device(), cam, config,
-                                      interpret=True, return_stats=True)
-            img = np.asarray(img)
+            if args.sharded:
+                mesh = make_mesh(n_data=1, n_gaussian=n_g,
+                                 devices=jax.devices()[:n_g])
+                sc = scene.pad_to(
+                    -(-scene.num_gaussians // n_g) * n_g) \
+                    if scene.num_gaussians % n_g else scene
+                img, overflow = render_sharded_tiled(
+                    sc, cam, mesh, config, route=route,
+                    slab_cap_factor=cap or None)
+                img = np.asarray(img)
+                overflow = int(overflow)
+            else:
+                img, stats = render_tiled(scene.pack_device(), cam, config,
+                                          interpret=True, return_stats=True)
+                img = np.asarray(img)
+                overflow = int(stats["overflow"])
             gold = render_oracle(scene, cam, config)
-            if int(stats["overflow"]) > 0:
-                print(f"SKIP (overflow {int(stats['overflow'])}) {recipe}")
+            if overflow > 0:
+                print(f"SKIP (overflow {overflow}) {recipe}")
                 continue
             p = psnr(img, gold)
             ok = p >= args.min_psnr and np.isfinite(img).all()

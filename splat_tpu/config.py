@@ -13,6 +13,7 @@ changes every frame and is a traced input).
 from __future__ import annotations
 
 import dataclasses
+import math
 
 
 @dataclasses.dataclass(frozen=True)
@@ -125,7 +126,14 @@ class RenderConfig:
     # quantization is then the accuracy bound).
     exact_color_accum: bool = False
     # Radius of the splat bounding box in standard deviations.  The reference
-    # uses 3-sigma quads (src/pipelines.rs:27).
+    # uses 3-sigma quads (src/pipelines.rs:27).  ``math.inf`` selects
+    # truncation-free rendering: with tight_radius (required), every bbox
+    # becomes exactly the opacity-aware kill radius, which makes the raster
+    # kernel's bbox compares redundant (the alpha_min test subsumes them —
+    # marginal bound, ops/projection.py) so the kernel statically drops
+    # ~4 (P, chunk) VPU passes per window; the trade is slightly larger
+    # bboxes (hence pairs) for high-opacity splats, up to
+    # sqrt(2 ln(opacity/alpha_min)) ~ 3.33 sigma at opacity 0.99.
     sigma_cutoff: float = 3.0
     # Shrink each splat's bbox to the opacity-aware radius
     # sqrt(2·ln(opacity/alpha_min))·sigma when that is tighter than
@@ -144,6 +152,11 @@ class RenderConfig:
         if self.expand_impl not in ("auto", "xla"):
             raise ValueError(f"expand_impl must be 'auto' or 'xla', "
                              f"got {self.expand_impl!r}")
+        if not math.isfinite(self.sigma_cutoff) and not self.tight_radius:
+            raise ValueError(
+                "sigma_cutoff=inf requires tight_radius=True: without the "
+                "opacity-aware radius every bbox covers the whole screen "
+                "(pair count = N x tiles)")
 
     @property
     def tile_w(self) -> int:

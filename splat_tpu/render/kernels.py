@@ -51,6 +51,7 @@ the one speculative fetch a saturated tile wastes is free bandwidth.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -133,6 +134,7 @@ def _raster_kernel(
     bs1: int, alpha_clamp: float, alpha_min: float,
     bg: tuple[float, float, float], color_precision, gy_n: int, gx_n: int,
     bh: int, bw: int, heavy_chunks: int, transmit_mxu: bool,
+    skip_bbox: bool,
 ):
     t = pl.program_id(0)
     s = start_ref[t]
@@ -203,16 +205,18 @@ def _raster_kernel(
         inv_u16 = 1.0 / 65535.0
         colors = jnp.concatenate(
             [lo16(5), hi16(5), lo16(6)]) * inv_u16            # (3, chunk)
-        rxq = f[7:8, :] & 0x7FFF
-        ryq = (f[7:8, :] >> 15) & 0x7FFF
-        rx = rxq.astype(jnp.float32) * 0.125
-        ry = ryq.astype(jnp.float32) * 0.125
-        return dict(
+        w = dict(
             cx=frow(0), cy=frow(1), a2=frow(2), b2=frow(3), c2=frow(4),
             colors=colors,
-            rx2=jnp.where(rxq == _R15_MAX, jnp.inf, rx * rx),
-            ry2=jnp.where(ryq == _R15_MAX, jnp.inf, ry * ry),
             op_raw=hi16(6) * inv_u16)
+        if not skip_bbox:     # sigma_cutoff=inf: alpha test subsumes bbox
+            rxq = f[7:8, :] & 0x7FFF
+            ryq = (f[7:8, :] >> 15) & 0x7FFF
+            rx = rxq.astype(jnp.float32) * 0.125
+            ry = ryq.astype(jnp.float32) * 0.125
+            w["rx2"] = jnp.where(rxq == _R15_MAX, jnp.inf, rx * rx)
+            w["ry2"] = jnp.where(ryq == _R15_MAX, jnp.inf, ry * ry)
+        return w
 
     def composite_rows(w, op, img_t, tr_t, pxc, pyc, rows, mxu: bool):
         """One window's front-to-back compositing of ``rows`` accumulator
@@ -227,8 +231,16 @@ def _raster_kernel(
         # No power<=0 test: visibility gating requires det(cov2d)>0
         # (projection.py), so the conic is PSD and power<=0 always holds;
         # the reference's check (src/pipelines.rs:135) is defensive only.
-        keep = ((alpha >= alpha_min) & (dx_2 <= w["rx2"])
-                & (dy_2 <= w["ry2"]))
+        if skip_bbox:
+            # sigma_cutoff=inf + tight_radius: the stored bbox IS the
+            # (ceil-quantized, hence >=) alpha_min kill radius, so
+            # alpha >= alpha_min implies |dx| <= rx and |dy| <= ry
+            # (marginal bound, ops/projection.py) — the two compares and
+            # two ands are statically dropped.
+            keep = alpha >= alpha_min
+        else:
+            keep = ((alpha >= alpha_min) & (dx_2 <= w["rx2"])
+                    & (dy_2 <= w["ry2"]))
         alpha = jnp.where(keep, alpha, 0.0)
 
         if transmit_mxu and mxu:
@@ -499,7 +511,8 @@ def rasterize_tiles(bins: TileBins, h: int, w: int, config: RenderConfig,
                          else jax.lax.Precision.DEFAULT),
         gy_n=gy_n, gx_n=gx_n, bh=bh, bw=bw,
         heavy_chunks=-(-config.subtile_heavy_pairs // chunk),
-        transmit_mxu=config.transmit_mxu)
+        transmit_mxu=config.transmit_mxu,
+        skip_bbox=not math.isfinite(config.sigma_cutoff))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

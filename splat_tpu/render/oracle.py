@@ -148,10 +148,15 @@ def render_oracle(scene, camera, config: RenderConfig | None = None):
         cy = (1 - ndc[1]) * h / 2
         rx = config.sigma_cutoff * np.sqrt(cov2d[0, 0])
         ry = config.sigma_cutoff * np.sqrt(cov2d[1, 1])
-        x1 = max(int(np.floor(cx - rx)), 0)
-        x2 = min(int(np.ceil(cx + rx)) + 1, w)
-        y1 = max(int(np.floor(cy - ry)), 0)
-        y2 = min(int(np.ceil(cy + ry)) + 1, h)
+        # sigma_cutoff=inf (truncation-free mode): the loop bounds span the
+        # whole screen and the |dx|<=rx quad test below is vacuous; only
+        # the alpha_min cutoff limits the splat's support.
+        rxi = rx if np.isfinite(rx) else abs(cx) + w
+        ryi = ry if np.isfinite(ry) else abs(cy) + h
+        x1 = max(int(np.floor(cx - rxi)), 0)
+        x2 = min(int(np.ceil(cx + rxi)) + 1, w)
+        y1 = max(int(np.floor(cy - ryi)), 0)
+        y2 = min(int(np.ceil(cy + ryi)) + 1, h)
         if x1 >= x2 or y1 >= y2:
             continue
 

@@ -130,6 +130,25 @@ class TestTiledRender:
         p = psnr(tiled, gold)
         assert p >= 45.0, f"tiled vs oracle PSNR {p:.2f}"
 
+    def test_sigma_cutoff_inf_matches_oracle(self, small_random_scene):
+        """Truncation-free mode: sigma_cutoff=inf + tight_radius makes
+        every bbox exactly the alpha_min kill radius, so the kernel
+        statically drops its bbox compares (kernels.py skip_bbox); the
+        oracle's quad test is vacuous and only the alpha cutoff limits
+        support.  Parity must hold with the diet applied."""
+        import math
+        cam = Camera.create(h=96, w=160, position=(0.0, 0.0, 4.0))
+        config = _cfg(sigma_cutoff=math.inf, max_dup_factor=8.0)
+        tiled = np.asarray(render_tiled(small_random_scene, cam, config,
+                                        interpret=True))
+        gold = render_oracle(small_random_scene, cam, config)
+        p = psnr(tiled, gold)
+        assert p >= 45.0, f"sigma=inf tiled vs oracle PSNR {p:.2f}"
+        # inf without tight_radius would pair every splat with every
+        # tile — rejected at construction
+        with pytest.raises(ValueError):
+            RenderConfig(sigma_cutoff=math.inf, tight_radius=False)
+
     def test_rectangular_tiles(self, small_random_scene):
         """tile_py != tile_px: rect tiles trade pair count against pixel
         work; the image must match the square-tile render (same math,
