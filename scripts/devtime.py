@@ -141,6 +141,10 @@ def main():
                 check("sigma_inf",
                       RenderConfig(sigma_cutoff=math.inf,
                                    max_dup_factor=6.0)),
+                # alpha_clamp ~ 1 takes the kernel's guarded log1p path
+                # (a min() the default 0.99 compiles away)
+                check("alpha_clamp1",
+                      RenderConfig(alpha_clamp=0.9999999)),
             ]
         if min(ps) < 45.0:
             raise SystemExit(1)

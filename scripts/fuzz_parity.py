@@ -89,6 +89,10 @@ def main():
         config = RenderConfig(
             tile_px=tile, tile_py=tile_y,
             chunk=int(rng.choice([64, 128])),
+            # 0.9999999 exercises the kernel's alpha_clamp~1 log1p guard
+            # (the only compiled branch the default 0.99 never takes)
+            alpha_clamp=float(rng.choice([0.99, 0.99, 0.9999999])),
+            alpha_min=float(rng.choice([1 / 255.0, 1 / 255.0, 0.01])),
             max_dup_factor=float(rng.uniform(4.0, 9.0)),
             sh_degree=int(rng.choice([0, 1, 2, 3])),
             cull_pairs=bool(rng.random() < 0.3),

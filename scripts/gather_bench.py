@@ -48,10 +48,21 @@ def main():
     tile_key = jnp.asarray(rng.integers(0, 2048, k).astype(np.int32))
 
     def devtime(name, fn, *xs, iters=args.iters):
+        # Two rule-10 traps this helper must dodge (both produced bogus
+        # numbers in earlier versions):
+        #  * loop-INVARIANT operands let XLA hoist the whole body out of
+        #    the scan (a 20x under-report) — so the index operand is
+        #    perturbed by `carry * 0`, which XLA cannot fold to zero
+        #    (f32 NaN semantics), making every iteration's gather live;
+        #  * consuming one element lets XLA DCE the rest of the data
+        #    movement — so the FULL output feeds the carry via jnp.sum.
         def chained(*a):
             def step(carry, _):
-                out = fn(*a)
-                return jnp.asarray(out, jnp.float32).ravel()[0] * 1e-20 + carry, 0.
+                j = (carry * 0.0).astype(jnp.int32)
+                out = fn(*[x + j if x.ndim == 1 and x.dtype == jnp.int32
+                           else x for x in a])
+                return jnp.sum(jnp.asarray(out, jnp.float32)) * 1e-20 \
+                    + carry, 0.
             c, _ = jax.lax.scan(step, jnp.float32(0.), None, length=iters)
             return c
         f = jax.jit(chained)
@@ -63,8 +74,11 @@ def main():
         devtime(f"a lane-gather (16,N)axis1 {label}",
                 lambda ft, i: jnp.sum(jnp.take(ft, i, axis=1)),
                 feats_fn, idx)
+        # the transpose result must be consumed in FULL with row-varying
+        # weights: a plain sum (or one row) lets XLA elide the relayout
         devtime(f"b row-gather+T (N,16) {label}",
-                lambda fn_, i: jnp.sum(jnp.take(fn_, i, axis=0).T[0]),
+                lambda fn_, i: jnp.take(fn_, i, axis=0).T
+                * jnp.arange(1.0, 17.0)[:, None],
                 feats_nk, idx)
         devtime(f"c row-gather only {label}",
                 lambda fn_, i: jnp.sum(jnp.take(fn_, i, axis=0)),

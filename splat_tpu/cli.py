@@ -42,6 +42,11 @@ def _add_render_flags(p: argparse.ArgumentParser) -> None:
                         "or 'auto' to measure the scene's pair load at "
                         "the given pose and add 25%% headroom")
     p.add_argument("--background", default="0,0,0")
+    p.add_argument("--sigma-cutoff", default="3.0",
+                   help="bbox radius in standard deviations (reference: "
+                        "3-sigma quads); 'inf' = truncation-free mode "
+                        "(requires tight radii; the raster kernel "
+                        "statically drops its bbox compares)")
     p.add_argument("--method", choices=["auto", "dense", "tiled"],
                    default="auto")
     p.add_argument("--profile", metavar="LOGDIR", default=None,
@@ -85,6 +90,7 @@ def _camera(args):
 def _config(args, scene=None, cam=None):
     from splat_tpu.config import RenderConfig
 
+    sigma = float(getattr(args, "sigma_cutoff", "3.0"))  # 'inf' parses
     dup = getattr(args, "dup_factor", "4")
     if dup == "auto":
         if scene is None or cam is None:
@@ -92,6 +98,7 @@ def _config(args, scene=None, cam=None):
         from splat_tpu.render.api import pair_stats
         base = RenderConfig(sh_degree=args.sh_degree, lowpass=args.lowpass,
                             tile_px=args.tile, tile_py=args.tile_y,
+                            sigma_cutoff=sigma,
                             background=_parse_vec(args.background, 3))
         stats = pair_stats(scene, cam, base)
         dup = stats["suggested_dup_factor"]
@@ -100,7 +107,7 @@ def _config(args, scene=None, cam=None):
               f"max_dup_factor={dup}")
     return RenderConfig(sh_degree=args.sh_degree, lowpass=args.lowpass,
                         tile_px=args.tile, tile_py=args.tile_y,
-                        max_dup_factor=float(dup),
+                        max_dup_factor=float(dup), sigma_cutoff=sigma,
                         background=_parse_vec(args.background, 3))
 
 

@@ -31,6 +31,16 @@ def test_render_naive(tmp_path, capsys):
     assert "Rendering took" in capsys.readouterr().out
 
 
+def test_render_sigma_cutoff_inf(scene_ply, tmp_path):
+    """--sigma-cutoff inf selects the truncation-free mode (and parses
+    through float('inf') into RenderConfig, which requires tight radii)."""
+    out = str(tmp_path / "inf.png")
+    rc = main(["render", scene_ply, "--size", "64x64", "--pos", "0,0,4",
+               "--sigma-cutoff", "inf", "--dup-factor", "8", "--out", out])
+    assert rc == 0
+    assert read_png(out).shape == (64, 64, 3)
+
+
 def test_render_ply(scene_ply, tmp_path):
     out = str(tmp_path / "f.png")
     rc = main(["render", scene_ply, "--size", "64x64", "--pos", "0,0,4",
