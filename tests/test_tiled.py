@@ -149,6 +149,19 @@ class TestTiledRender:
         with pytest.raises(ValueError):
             RenderConfig(sigma_cutoff=math.inf, tight_radius=False)
 
+    def test_alpha_clamp_near_one_matches_oracle(self, small_random_scene):
+        """alpha_clamp ~ 1 takes the kernel's guarded log1p branch (the
+        min(alpha, 0.999999) that alpha_clamp=0.99 compiles away); the
+        oracle clamps at the configured value, so parity pins both the
+        guard's correctness and its clamp constant."""
+        cam = Camera.create(h=96, w=160, position=(0.0, 0.0, 4.0))
+        config = _cfg(alpha_clamp=0.9999999)
+        tiled = np.asarray(render_tiled(small_random_scene, cam, config,
+                                        interpret=True))
+        gold = render_oracle(small_random_scene, cam, config)
+        p = psnr(tiled, gold)
+        assert p >= 45.0, f"alpha_clamp~1 tiled vs oracle PSNR {p:.2f}"
+
     def test_rectangular_tiles(self, small_random_scene):
         """tile_py != tile_px: rect tiles trade pair count against pixel
         work; the image must match the square-tile render (same math,
