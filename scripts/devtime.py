@@ -92,14 +92,14 @@ def main():
         scenes: dict = {}
 
         def check(label, config, n=5000, h=600, w=800):
-            key = (n, h, w)
-            if key not in scenes:
-                scenes[key] = st.surface_scene(n, seed=11)
-            scene = scenes[key]
+            key = (n, h, w, config.alpha_channel)
+            if (n, h, w) not in scenes:
+                scenes[(n, h, w)] = st.surface_scene(n, seed=11)
+            scene = scenes[(n, h, w)]
             cam = st.Camera.create(h=h, w=w, position=(0.0, -1.0, 3.5))
             img = np.asarray(render_tiled_checked(scene.pack_device(),
                                                   cam, config))
-            if key not in golds:   # oracle is config-independent here
+            if key not in golds:   # oracle is config-independent per shape
                 golds[key] = render_oracle(scene, cam, config)
             p = psnr(img, golds[key])
             print(f"on-device parity [{label}]: "
@@ -145,6 +145,9 @@ def main():
                 # (a min() the default 0.99 compiles away)
                 check("alpha_clamp1",
                       RenderConfig(alpha_clamp=0.9999999)),
+                # RGBA output: 4-channel kernel write + untile
+                check("alpha_channel",
+                      RenderConfig(alpha_channel=True)),
             ]
         if min(ps) < 45.0:
             raise SystemExit(1)

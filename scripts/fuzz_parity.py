@@ -100,6 +100,7 @@ def main():
             subtile_heavy_pairs=int(rng.choice([0, 256, 8192])),
             transmit_mxu=bool(rng.random() < 0.7),
             exact_color_accum=bool(rng.random() < 0.3),
+            alpha_channel=bool(rng.random() < 0.25),
             sigma_cutoff=sigma_cutoff,
             tight_radius=(True if sigma_cutoff == float("inf")
                           else bool(rng.random() < 0.8)),

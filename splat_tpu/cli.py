@@ -42,6 +42,10 @@ def _add_render_flags(p: argparse.ArgumentParser) -> None:
                         "or 'auto' to measure the scene's pair load at "
                         "the given pose and add 25%% headroom")
     p.add_argument("--background", default="0,0,0")
+    p.add_argument("--alpha", action="store_true",
+                   help="output RGBA: the alpha channel is the accumulated "
+                        "per-pixel coverage 1 - T (PNGs are written as "
+                        "color-type-6 RGBA)")
     p.add_argument("--sigma-cutoff", default="3.0",
                    help="bbox radius in standard deviations (reference: "
                         "3-sigma quads); 'inf' = truncation-free mode "
@@ -108,6 +112,7 @@ def _config(args, scene=None, cam=None):
     return RenderConfig(sh_degree=args.sh_degree, lowpass=args.lowpass,
                         tile_px=args.tile, tile_py=args.tile_y,
                         max_dup_factor=float(dup), sigma_cutoff=sigma,
+                        alpha_channel=getattr(args, "alpha", False),
                         background=_parse_vec(args.background, 3))
 
 

@@ -125,6 +125,14 @@ class RenderConfig:
     # at 1M@1080p.  True: Precision.HIGHEST (79.5 dB, the u16 feature
     # quantization is then the accuracy bound).
     exact_color_accum: bool = False
+    # Output an RGBA image: the fourth channel is the ACCUMULATED coverage
+    # 1 - T (T = per-pixel transmittance after all splats), for compositing
+    # renders over other content.  The reference's framebuffer alpha byte
+    # stores only the LAST fragment's alpha (src/pipelines.rs:162-167, a
+    # bug its own notebook fixes by accumulating); this is the notebook's
+    # correct semantics.  RGB channels are unchanged (still blended over
+    # config.background).
+    alpha_channel: bool = False
     # Radius of the splat bounding box in standard deviations.  The reference
     # uses 3-sigma quads (src/pipelines.rs:27).  ``math.inf`` selects
     # truncation-free rendering: with tight_radius (required), every bbox

@@ -24,7 +24,8 @@ def resolve_method(method: str, scene) -> str:
 
 
 def render_fn(method: str = "auto", config: RenderConfig | None = None):
-    """Return a jitted ``f(scene, camera) -> float32 (H, W, 3)`` renderer.
+    """Return a jitted ``f(scene, camera) -> float32 (H, W, 3)`` renderer
+    ((H, W, 4) RGBA when ``config.alpha_channel``; both methods agree).
 
     method: 'dense' (exact, O(N*H*W); small scenes / parity tests),
     'tiled' (tile-binned Pallas rasterizer; the production path), or

@@ -51,13 +51,17 @@ def _splat_alpha(proj, idx, px, py, config: RenderConfig):
 
 def render_dense(scene, camera: Camera, config: RenderConfig | None = None,
                  *, chunk: int = 16) -> jax.Array:
-    """Render to a float32 (H, W, 3) image in [0, 1].  Jit-friendly."""
+    """Render to a float32 (H, W, 3) image in [0, 1] — or (H, W, 4) RGBA
+    with config.alpha_channel (fourth channel = accumulated 1 - T).
+    Jit-friendly."""
     config = config or RenderConfig()
     h, w = camera.h, camera.w
     n = scene.num_gaussians
     bg = jnp.asarray(config.background, jnp.float32)
-    if n == 0:  # empty scene: pure background
-        return jnp.broadcast_to(bg, (h, w, 3)).astype(jnp.float32)
+    if n == 0:  # empty scene: pure background, zero coverage
+        bgc = (jnp.concatenate([bg, jnp.zeros((1,), jnp.float32)])
+               if config.alpha_channel else bg)
+        return jnp.broadcast_to(bgc, (h, w, bgc.shape[0])).astype(jnp.float32)
     proj = project_gaussians(scene, camera, config)
 
     # Front-to-back: ascending view depth.  Invisible splats get +inf keys so
@@ -98,6 +102,8 @@ def render_dense(scene, camera: Camera, config: RenderConfig | None = None,
     init = (jnp.zeros((h, w, 3), jnp.float32), jnp.ones((h, w), jnp.float32))
     (img, transmit), _ = jax.lax.scan(step, init, (order, valid))
     img = img + transmit[..., None] * bg
+    if config.alpha_channel:
+        img = jnp.concatenate([img, 1.0 - transmit[..., None]], axis=-1)
     return jnp.clip(img, 0.0, 1.0)
 
 

@@ -134,7 +134,7 @@ def _raster_kernel(
     bs1: int, alpha_clamp: float, alpha_min: float,
     bg: tuple[float, float, float], color_precision, gy_n: int, gx_n: int,
     bh: int, bw: int, heavy_chunks: int, transmit_mxu: bool,
-    skip_bbox: bool,
+    skip_bbox: bool, alpha_channel: bool,
 ):
     t = pl.program_id(0)
     s = start_ref[t]
@@ -488,11 +488,16 @@ def _raster_kernel(
     for c in range(3):
         chan = img[:, c:c + 1] + transmit * float(bg[c])
         out_ref[c, 0] = jnp.clip(chan, 0.0, 1.0).reshape(bs0, bs1)
+    if alpha_channel:
+        # accumulated coverage (notebook semantics; see config.py) — NOT
+        # the reference's last-fragment alpha byte
+        out_ref[3, 0] = jnp.clip(1.0 - transmit, 0.0, 1.0).reshape(bs0, bs1)
 
 
 def rasterize_tiles(bins: TileBins, h: int, w: int, config: RenderConfig,
                     *, interpret: bool = False) -> jax.Array:
-    """Run the compositing kernel.  Returns float32 (H, W, 3) in [0, 1]."""
+    """Run the compositing kernel.  Returns float32 (H, W, 3) in [0, 1]
+    (or (H, W, 4) with config.alpha_channel: RGB + accumulated 1 - T)."""
     tw, th = config.tile_w, config.tile_h
     bs0, bs1 = config.block_shape
     ntx, nty = bins.tiles_x, bins.tiles_y
@@ -512,13 +517,16 @@ def rasterize_tiles(bins: TileBins, h: int, w: int, config: RenderConfig,
         gy_n=gy_n, gx_n=gx_n, bh=bh, bw=bw,
         heavy_chunks=-(-config.subtile_heavy_pairs // chunk),
         transmit_mxu=config.transmit_mxu,
-        skip_bbox=not math.isfinite(config.sigma_cutoff))
+        skip_bbox=not math.isfinite(config.sigma_cutoff),
+        alpha_channel=config.alpha_channel)
+    nchan = 4 if config.alpha_channel else 3
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((3, 1, bs0, bs1), lambda t, *_: (0, t, 0, 0),
+        out_specs=pl.BlockSpec((nchan, 1, bs0, bs1),
+                               lambda t, *_: (0, t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((NBUF, FEATURE_DIM, chunk), jnp.int32),
@@ -537,7 +545,7 @@ def rasterize_tiles(bins: TileBins, h: int, w: int, config: RenderConfig,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((3, num_tiles, bs0, bs1),
+        out_shape=jax.ShapeDtypeStruct((nchan, num_tiles, bs0, bs1),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -545,10 +553,10 @@ def rasterize_tiles(bins: TileBins, h: int, w: int, config: RenderConfig,
         interpret=interpret,
     )(bins.tile_start, bins.tile_end, bins.features)
 
-    # untile: (3, T, bs0, bs1) -> (H, W, 3).  Linear pixel index
+    # untile: (C, T, bs0, bs1) -> (H, W, C).  Linear pixel index
     # r = sublane*bs1 + lane decomposes per the kernel's group mapping:
     # (g, q) = (r // pg, r % pg), pixel = (gy*bh + q//bw, gx*bw + q%bw).
-    img = out.reshape(3, nty, ntx, gy_n, gx_n, bh, bw)
+    img = out.reshape(nchan, nty, ntx, gy_n, gx_n, bh, bw)
     img = img.transpose(1, 3, 5, 2, 4, 6, 0).reshape(
-        nty * th, ntx * tw, 3)
+        nty * th, ntx * tw, nchan)
     return img[:h, :w]

@@ -124,6 +124,9 @@ def render_oracle(scene, camera, config: RenderConfig | None = None):
 
     img = np.broadcast_to(
         np.asarray(config.background, np.float64), (h, w, 3)).copy()
+    # alpha_channel: T = prod(1 - alpha_i) is order-independent, so the
+    # back-to-front paint loop can accumulate it directly.
+    trans = np.ones((h, w), np.float64)
     for i in order:
         mean = d["means"][i]
         pos_cam = view[:3, :3] @ mean + view[:3, 3]
@@ -182,5 +185,8 @@ def render_oracle(scene, camera, config: RenderConfig | None = None):
         tile = img[y1:y2, x1:x2]
         img[y1:y2, x1:x2] = (tile * (1 - alpha[..., None])
                              + color[None, None, :] * alpha[..., None])
+        trans[y1:y2, x1:x2] *= 1 - alpha
 
+    if config.alpha_channel:
+        img = np.concatenate([img, (1 - trans)[..., None]], axis=-1)
     return np.clip(img, 0.0, 1.0).astype(np.float32)

@@ -19,7 +19,8 @@ from splat_tpu.render.kernels import rasterize_tiles
 def render_tiled(scene, camera: Camera, config: RenderConfig | None = None,
                  *, interpret: bool | None = None,
                  return_stats: bool = False):
-    """Render to float32 (H, W, 3).  Jit-friendly; camera pose is traced.
+    """Render to float32 (H, W, 3) — or (H, W, 4) RGBA with
+    config.alpha_channel.  Jit-friendly; camera pose is traced.
 
     interpret: run the Pallas kernel in interpreter mode (None = auto: on
       for the CPU backend, off on TPU).
@@ -31,9 +32,12 @@ def render_tiled(scene, camera: Camera, config: RenderConfig | None = None,
         interpret = jax.default_backend() == "cpu"
     h, w = camera.h, camera.w
     if scene.num_gaussians == 0:  # static: binning has no N=0 shape
+        bgc = tuple(config.background)
+        if config.alpha_channel:
+            bgc = bgc + (0.0,)  # nothing rendered: zero coverage
         img = jnp.broadcast_to(
-            jnp.asarray(config.background, jnp.float32),
-            (h, w, 3)).astype(jnp.float32)
+            jnp.asarray(bgc, jnp.float32),
+            (h, w, len(bgc))).astype(jnp.float32)
         if return_stats:
             z = jnp.int32(0)
             return img, {"num_pairs": z, "overflow": z, "visible": z,

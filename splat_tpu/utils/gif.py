@@ -99,8 +99,9 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int = 8) -> bytes:
 
 def write_gif(path: str, frames, *, fps: float = 20.0,
               loop: bool = True) -> None:
-    """Write (F, H, W, 3) float [0,1] (or list of images) as animated GIF."""
-    frames = [np.asarray(f) for f in frames]
+    """Write (F, H, W, 3) float [0,1] (or list of images) as animated GIF.
+    RGBA frames are accepted; GIF has no alpha plane, so it is dropped."""
+    frames = [np.asarray(f)[..., :3] for f in frames]
     if not frames:
         raise ValueError("no frames")
     h, w = frames[0].shape[:2]

@@ -19,20 +19,18 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 
 def write_png(path: str, img: np.ndarray) -> None:
-    """Write an (H, W, 3) uint8 (or float in [0,1]) array as an RGB PNG."""
+    """Write an (H, W, 3) RGB or (H, W, 4) RGBA uint8 (or float in [0,1])
+    array as a PNG (color type 2 / 6)."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         img = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
     if img.ndim == 2:
         img = np.repeat(img[:, :, None], 3, axis=2)
     h, w, c = img.shape
-    if c == 4:
-        img = img[:, :, :3]
-        c = 3
-    if c != 3:
-        raise ValueError(f"expected 3 channels, got {c}")
+    if c not in (3, 4):
+        raise ValueError(f"expected 3 or 4 channels, got {c}")
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if c == 3 else 6, 0, 0, 0)
     with open(path, "wb") as f:
         f.write(b"\x89PNG\r\n\x1a\n")
         f.write(_chunk(b"IHDR", ihdr))
@@ -96,7 +94,8 @@ def read_png(path: str) -> np.ndarray:
                 cur[i] = (row[i] + pred) & 0xFF
         out[y] = cur.astype(np.uint8)
         prev = cur
-    return out.reshape(h, w, nch)[:, :, :3]
+    # RGBA PNGs keep their alpha plane; RGB stays (H, W, 3)
+    return out.reshape(h, w, nch)
 
 
 def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:

@@ -41,6 +41,18 @@ def test_render_sigma_cutoff_inf(scene_ply, tmp_path):
     assert read_png(out).shape == (64, 64, 3)
 
 
+def test_render_alpha_rgba_png(scene_ply, tmp_path):
+    """--alpha writes a color-type-6 RGBA PNG whose alpha plane is the
+    accumulated coverage (background pixels transparent)."""
+    out = str(tmp_path / "rgba.png")
+    rc = main(["render", scene_ply, "--size", "64x64", "--pos", "0,0,4",
+               "--alpha", "--out", out])
+    assert rc == 0
+    img = read_png(out)
+    assert img.shape == (64, 64, 4)
+    assert img[..., 3].max() > 0  # something covered
+
+
 def test_render_ply(scene_ply, tmp_path):
     out = str(tmp_path / "f.png")
     rc = main(["render", scene_ply, "--size", "64x64", "--pos", "0,0,4",

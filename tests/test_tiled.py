@@ -149,6 +149,31 @@ class TestTiledRender:
         with pytest.raises(ValueError):
             RenderConfig(sigma_cutoff=math.inf, tight_radius=False)
 
+    def test_alpha_channel_rgba(self, small_random_scene):
+        """config.alpha_channel: the fourth channel is the accumulated
+        coverage 1 - T (notebook semantics — NOT the reference's
+        last-fragment alpha byte, see PARITY.md); tiled, dense, and the
+        oracle must agree, and the RGB planes must be unchanged."""
+        from splat_tpu.render.dense import render_dense
+        cam = Camera.create(h=96, w=160, position=(0.0, 0.0, 4.0))
+        config = _cfg(alpha_channel=True)
+        tiled = np.asarray(render_tiled(small_random_scene, cam, config,
+                                        interpret=True))
+        assert tiled.shape == (96, 160, 4)
+        gold = render_oracle(small_random_scene, cam, config)
+        assert gold.shape == (96, 160, 4)
+        p = psnr(tiled, gold)
+        assert p >= 45.0, f"RGBA tiled vs oracle PSNR {p:.2f}"
+        dense = np.asarray(render_dense(small_random_scene, cam, config))
+        assert psnr(dense, gold) >= 45.0
+        # RGB planes identical to the 3-channel render
+        rgb = np.asarray(render_tiled(
+            small_random_scene, cam, _cfg(), interpret=True))
+        np.testing.assert_array_equal(tiled[..., :3], rgb)
+        # coverage is real: some pixels opaque-ish, background pixels ~0
+        assert tiled[..., 3].max() > 0.5
+        assert tiled[..., 3].min() < 1e-3
+
     def test_alpha_clamp_near_one_matches_oracle(self, small_random_scene):
         """alpha_clamp ~ 1 takes the kernel's guarded log1p branch (the
         min(alpha, 0.999999) that alpha_clamp=0.99 compiles away); the
