@@ -295,7 +295,7 @@ def cmd_serve(args) -> int:
     scene = _load(args)
     cam = _camera(args)
     serve(scene, cam, _config(args, scene, cam), host=args.host, port=args.port,
-          method=args.method)
+          method=args.method, png_level=args.png_level)
     return 0
 
 
@@ -343,6 +343,10 @@ def main(argv=None) -> int:
     _add_render_flags(p)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--png-level", type=int, default=0,
+                   help="zlib level for served frames (0 = stored blocks: "
+                        "~17 ms/1080p frame vs ~340 ms at level 3, ~3x "
+                        "bytes; raise for remote viewing on thin links)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="device-chained frame timing")

@@ -13,7 +13,6 @@ writer.  Single render thread — the device is serialized behind a lock.
 
 from __future__ import annotations
 
-import io
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -85,12 +84,19 @@ tick();
 
 
 def serve(scene, camera, config=None, *, host: str = "127.0.0.1",
-          port: int = 8000, method: str = "auto") -> None:
-    """Serve the interactive viewer (blocking).  Ctrl-C to stop."""
+          port: int = 8000, method: str = "auto",
+          png_level: int = 0) -> None:
+    """Serve the interactive viewer (blocking).  Ctrl-C to stop.
+
+    png_level: zlib level for served frames.  Default 0 (stored blocks):
+    encoding a 1080p frame costs ~17 ms vs ~340 ms at level 3 (measured)
+    for ~3x the bytes — encode latency IS serving latency on localhost;
+    raise it for remote viewing over thin links.
+    """
     import jax
 
     from splat_tpu.render.api import render_fn, resolve_method
-    from splat_tpu.utils.image import to_uint8
+    from splat_tpu.utils.image import encode_png
 
     # The tiled path renders with stats so duplication-buffer overflow is
     # surfaced in the HUD — the viewer must not be the one public render
@@ -118,26 +124,7 @@ def serve(scene, camera, config=None, *, host: str = "127.0.0.1",
             img, stats = f(scene, cam)
             overflow = int(stats["overflow"]) if stats is not None else 0
             img = np.asarray(img)
-        buf = io.BytesIO()
-        _png_to(buf, img)
-        return buf.getvalue(), overflow
-
-    def _png_to(fobj, img):
-        import struct
-        import zlib
-        arr = to_uint8(img)
-        hh, ww, _ = arr.shape
-        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(hh))
-
-        def chunk(tag, payload):
-            import zlib as z
-            return (struct.pack(">I", len(payload)) + tag + payload
-                    + struct.pack(">I", z.crc32(tag + payload) & 0xFFFFFFFF))
-        fobj.write(b"\x89PNG\r\n\x1a\n")
-        fobj.write(chunk(b"IHDR",
-                         struct.pack(">IIBBBBB", ww, hh, 8, 2, 0, 0, 0)))
-        fobj.write(chunk(b"IDAT", zlib.compress(raw, 3)))
-        fobj.write(chunk(b"IEND", b""))
+        return encode_png(img, level=png_level), overflow
 
     page = (_PAGE.replace("__W__", str(camera.w))
             .replace("__H__", str(camera.h)))
