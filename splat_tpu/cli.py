@@ -187,7 +187,8 @@ def cmd_orbit(args) -> int:
         else:
             img = f(scene, c)
         img = np.asarray(img)
-        write_png(os.path.join(args.out_dir, f"frame_{i:04d}.png"), img)
+        write_png(os.path.join(args.out_dir, f"frame_{i:04d}.png"), img,
+                  level=args.png_level)
         if gif_frames is not None:
             gif_frames.append(img)
         if i == 0:
@@ -319,6 +320,9 @@ def main(argv=None) -> int:
                    help="total yaw sweep in degrees")
     p.add_argument("--pitch-sweep", type=float, default=0.0)
     p.add_argument("--out-dir", default="frames")
+    p.add_argument("--png-level", type=int, default=6,
+                   help="zlib level for frame PNGs (lower = faster export, "
+                        "bigger files; 0 = stored)")
     p.add_argument("--gif", default=None,
                    help="also write an animated GIF to this path")
     p.add_argument("--gif-fps", type=float, default=20.0)
