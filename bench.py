@@ -73,7 +73,13 @@ def main() -> None:
 
     # SPLAT_BENCH_SCENE picks the headline scene and skips the other;
     # unset, both run (random is the headline, surface is recorded).
+    # Unknown values must not skip BOTH (a later KeyError would break the
+    # one-JSON-line stdout contract) — warn and run both.
     only = os.environ.get("SPLAT_BENCH_SCENE")
+    if only not in (None, "", "random", "surface"):
+        print(f"unknown SPLAT_BENCH_SCENE={only!r}; running both scenes",
+              file=sys.stderr)
+        only = None
     scenes = {}
     try:
         if only in (None, "", "random"):

@@ -92,14 +92,21 @@ def main():
         scenes: dict = {}
 
         def check(label, config, n=5000, h=600, w=800):
-            key = (n, h, w, config.alpha_channel)
+            # The oracle output depends on sigma_cutoff / alpha_clamp /
+            # alpha_min / sh_degree / lowpass / background / alpha_channel
+            # — key the golden cache on ALL of them, or a config row would
+            # silently compare against the default-config gold and mask
+            # the exact regression it was added to catch.
+            key = (n, h, w, config.sigma_cutoff, config.alpha_clamp,
+                   config.alpha_min, config.sh_degree, config.lowpass,
+                   tuple(config.background), config.alpha_channel)
             if (n, h, w) not in scenes:
                 scenes[(n, h, w)] = st.surface_scene(n, seed=11)
             scene = scenes[(n, h, w)]
             cam = st.Camera.create(h=h, w=w, position=(0.0, -1.0, 3.5))
             img = np.asarray(render_tiled_checked(scene.pack_device(),
                                                   cam, config))
-            if key not in golds:   # oracle is config-independent per shape
+            if key not in golds:
                 golds[key] = render_oracle(scene, cam, config)
             p = psnr(img, golds[key])
             print(f"on-device parity [{label}]: "

@@ -261,6 +261,8 @@ def render_sharded_tiled(scene, camera: Camera, mesh: Mesh,
     """
     config = config or RenderConfig()
     h, w = camera.h, camera.w
+    if scene.num_gaussians == 0:  # static: binning has no N=0 shape
+        return _empty_frame(h, w, config), jnp.int32(0)
     n_g = mesh.shape["g"]
     if h % n_g:
         raise ValueError(f"image height {h} not divisible by g={n_g}")
@@ -309,6 +311,10 @@ def render_batch_sharded_tiled(scene, cameras: Camera, mesh: Mesh,
     config = config or RenderConfig()
     h, w = cameras.h, cameras.w
     n_g = mesh.shape["g"]
+    if scene.num_gaussians == 0:  # static: binning has no N=0 shape
+        f = jnp.asarray(cameras.position).shape[0]
+        bg = _empty_frame(h, w, config)
+        return jnp.broadcast_to(bg, (f,) + bg.shape), jnp.int32(0)
     if h % n_g:
         raise ValueError(f"image height {h} not divisible by g={n_g}")
     h_local = h // n_g
@@ -347,7 +353,7 @@ def render_batch_sharded_tiled(scene, cameras: Camera, mesh: Mesh,
 
 def render_sharded_tiled_checked(scene, camera: Camera, mesh: Mesh,
                                  config: RenderConfig | None = None,
-                                 route: str = "a2a",
+                                 route: str = "auto",
                                  slab_cap_factor: float | None = None):
     """render_sharded_tiled that RAISES on any truncation.
 
@@ -366,7 +372,7 @@ def render_sharded_tiled_checked(scene, camera: Camera, mesh: Mesh,
 
 def render_batch_sharded_tiled_checked(scene, cameras: Camera, mesh: Mesh,
                                        config: RenderConfig | None = None,
-                                       route: str = "a2a",
+                                       route: str = "auto",
                                        slab_cap_factor: float | None = None):
     """render_batch_sharded_tiled that RAISES on any truncation."""
     imgs, overflow = render_batch_sharded_tiled(
@@ -374,6 +380,16 @@ def render_batch_sharded_tiled_checked(scene, cameras: Camera, mesh: Mesh,
         slab_cap_factor=slab_cap_factor)
     _raise_on_overflow(int(overflow))
     return imgs
+
+
+def _empty_frame(h: int, w: int, config: RenderConfig):
+    """Pure-background frame for zero-gaussian scenes (same semantics as
+    render_tiled's N=0 path; RGBA gets zero coverage)."""
+    bgc = tuple(config.background)
+    if config.alpha_channel:
+        bgc = bgc + (0.0,)
+    return jnp.broadcast_to(jnp.asarray(bgc, jnp.float32),
+                            (h, w, len(bgc))).astype(jnp.float32)
 
 
 def _raise_on_overflow(overflow: int) -> None:

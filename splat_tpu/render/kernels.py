@@ -218,7 +218,7 @@ def _raster_kernel(
             w["ry2"] = jnp.where(ryq == _R15_MAX, jnp.inf, ry * ry)
         return w
 
-    def composite_rows(w, op, img_t, tr_t, pxc, pyc, rows, mxu: bool):
+    def composite_rows(w, op, img_t, tr_t, pxc, pyc, rows):
         """One window's front-to-back compositing of ``rows`` accumulator
         rows (img_t/tr_t refs, pxc/pyc pixel-coordinate columns); returns
         the updated transmittance."""
@@ -243,7 +243,7 @@ def _raster_kernel(
                     & (dy_2 <= w["ry2"]))
         alpha = jnp.where(keep, alpha, 0.0)
 
-        if transmit_mxu and mxu:
+        if transmit_mxu:
             # Transmittance prefix on the MXU: log-space cumsum via ONE
             # strictly-lower-triangular-ones contraction.  x is Dekker-
             # split with a bit mask (NEVER x - f32(bf16(x)): XLA's
@@ -274,30 +274,23 @@ def _raster_kernel(
             t_before, t_chunk = _cumprod_excl_lanes(1.0 - alpha)
         transmit = tr_t[0:rows, :]
         weight = alpha * t_before                 # (rows, chunk)
-        if mxu:
-            # Channel accumulation on the MXU: contract (rows, chunk)
-            # with the (3, chunk) color rows on their lane dims (no
-            # transpose) — frees ~6 VPU passes per window and overlaps
-            # with the VPU's next ops.  Precision DEFAULT (one bf16
-            # pass, f32 accumulation) is the measured sweet spot — 70 dB
-            # vs the oracle on-chip (HIGHEST: 79.5 dB; threshold 45);
-            # exact_color_accum restores HIGHEST at ~3.8 ms/frame at
-            # 1M@1080p.  The carried transmittance multiplies the
-            # contracted (rows, 3) result — one tiny op instead of a
-            # full (rows, chunk) pass on the weights.
-            contrib = jax.lax.dot_general(
-                weight, w["colors"], (((1,), (1,)), ((), ())),
-                precision=color_precision,
-                preferred_element_type=jnp.float32)   # (rows, 3)
-        else:
-            # VPU lane-reductions instead: per-group MXU launches on the
-            # heavy path serialize against the vector pipeline (measured
-            # as most of the grouped-walk overhead), while three masked
-            # (rows, chunk) reductions stream through the VPU — and are
-            # full f32 (more precise than the bf16 dot).
-            contrib = jnp.concatenate(
-                [jnp.sum(weight * w["colors"][c:c + 1, :], axis=1,
-                         keepdims=True) for c in range(3)], axis=1)
+        # Channel accumulation on the MXU: contract (rows, chunk) with
+        # the (3, chunk) color rows on their lane dims (no transpose) —
+        # frees ~6 VPU passes per window and overlaps with the VPU's
+        # next ops.  Precision DEFAULT (one bf16 pass, f32 accumulation)
+        # is the measured sweet spot — 70 dB vs the oracle on-chip
+        # (HIGHEST: 79.5 dB; threshold 45); exact_color_accum restores
+        # HIGHEST at ~3.8 ms/frame at 1M@1080p.  The carried
+        # transmittance multiplies the contracted (rows, 3) result —
+        # one tiny op instead of a full (rows, chunk) pass on the
+        # weights.  (An all-VPU masked-reduction variant existed for the
+        # rejected per-group walk — per-group MXU launches serialized
+        # against the vector pipeline — but the shipped phase-compaction
+        # design composites full-width everywhere; see the ledger.)
+        contrib = jax.lax.dot_general(
+            weight, w["colors"], (((1,), (1,)), ((), ())),
+            precision=color_precision,
+            preferred_element_type=jnp.float32)   # (rows, 3)
         img_t[0:rows, :] = img_t[0:rows, :] + transmit * contrib
         transmit = transmit * t_chunk
         tr_t[0:rows, :] = transmit
@@ -340,7 +333,7 @@ def _raster_kernel(
             j, _ = carry
             w, op = window_rows(j)
             transmit = composite_rows(w, op, img_ref, tr_ref,
-                                      pxf_all, pyf_all, p, mxu=True)
+                                      pxf_all, pyf_all, p)
             return j + 1, jnp.max(transmit) < alpha_min
 
         def cond(carry):
@@ -370,8 +363,7 @@ def _raster_kernel(
         def body_full(carry):
             j, nact = carry
             w, op = window_rows(j)
-            composite_rows(w, op, img_ref, tr_ref, pxf_all, pyf_all, p,
-                           mxu=True)
+            composite_rows(w, op, img_ref, tr_ref, pxf_all, pyf_all, p)
             check = jax.lax.rem(j, SAT_CHECK_EVERY) == SAT_CHECK_EVERY - 1
 
             @pl.when(check)
@@ -445,7 +437,7 @@ def _raster_kernel(
             j, alive = carry
             w, op = window_rows(j)
             transmit = composite_rows(w, op, cimg_ref, ctr_ref, cpx, cpy,
-                                      COMPACT_GROUPS * pg, mxu=True)
+                                      COMPACT_GROUPS * pg)
             sat = jnp.max(transmit) < alpha_min
             return j + 1, jnp.where(sat, jnp.int32(0), alive)
 
@@ -506,6 +498,10 @@ def rasterize_tiles(bins: TileBins, h: int, w: int, config: RenderConfig,
     p = tw * th
     gy_n, gx_n, bh, bw = group_grid(tw, th, config.subtile_exit)
     cg_pg = p // (gy_n * gx_n)   # rows per pixel group
+    # Phase-compaction scratch is only reachable when the tile decomposes
+    # into >1 pixel group (ng > 1); the default whole-tile path would
+    # otherwise still reserve ~4*p rows of dead VMEM per program.
+    cg_rows = COMPACT_GROUPS * cg_pg if gy_n * gx_n > 1 else 8
 
     kernel = functools.partial(
         _raster_kernel, chunk=chunk, tile_w=tw, tile_h=th, tiles_x=ntx,
@@ -534,10 +530,10 @@ def rasterize_tiles(bins: TileBins, h: int, w: int, config: RenderConfig,
             pltpu.VMEM((p, 3), jnp.float32),
             pltpu.VMEM((p, 1), jnp.float32),
             pltpu.SMEM((gy_n * gx_n,), jnp.int32),
-            pltpu.VMEM((COMPACT_GROUPS * cg_pg, 1), jnp.float32),
-            pltpu.VMEM((COMPACT_GROUPS * cg_pg, 1), jnp.float32),
-            pltpu.VMEM((COMPACT_GROUPS * cg_pg, 3), jnp.float32),
-            pltpu.VMEM((COMPACT_GROUPS * cg_pg, 1), jnp.float32),
+            pltpu.VMEM((cg_rows, 1), jnp.float32),
+            pltpu.VMEM((cg_rows, 1), jnp.float32),
+            pltpu.VMEM((cg_rows, 3), jnp.float32),
+            pltpu.VMEM((cg_rows, 1), jnp.float32),
             pltpu.SMEM((1 + COMPACT_GROUPS,), jnp.int32),
         ],
     )

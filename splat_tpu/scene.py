@@ -154,7 +154,15 @@ class GaussianScene:
         spent ~6.3 ms of its 6.7 ms projection stage on exactly that).
         The transpose happens ONCE here, on the host when the leaves are
         NumPy (contiguous memcpy per component), then one device_put.
+        The default-device result is memoized on the (immutable) scene so
+        per-frame callers of the auto-packing ``render()`` do not re-slice
+        and re-upload every call; derived scenes (pad_to/permuted/...) are
+        new instances and never see a stale cache.
         """
+        if device is None:
+            cached = getattr(self, "_packed_cache", None)
+            if cached is not None:
+                return cached
         host = not isinstance(self.means, jax.Array)
         col = (lambda a: np.ascontiguousarray(a)) if host else (lambda a: a)
         m, q, s = self.means, self.quats, self.scales
@@ -167,7 +175,10 @@ class GaussianScene:
             sh=tuple(col(self.sh[:, k, c])
                      for k in range(16) for c in range(3)),
         )
-        return jax.tree.map(lambda a: jax.device_put(a, device), cols)
+        out = jax.tree.map(lambda a: jax.device_put(a, device), cols)
+        if device is None:
+            object.__setattr__(self, "_packed_cache", out)
+        return out
 
     def to_numpy(self) -> dict[str, np.ndarray]:
         return {f.name: np.asarray(getattr(self, f.name))

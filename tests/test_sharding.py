@@ -98,6 +98,40 @@ def test_render_sharded_tiled_a2a_overflow_reported():
     assert int(overflow) > 0
 
 
+def test_sharded_tiled_zero_gaussian_scene():
+    """N=0 scenes render pure background on the sharded tiled paths
+    (review: the zero-gaussian guard covered only dense/tiled/io/cli;
+    sharded binning would crash on the empty cumsum)."""
+    from splat_tpu.camera import orbit_trajectory
+    from splat_tpu.parallel.sharding import (render_batch_sharded_tiled,
+                                             render_sharded_tiled)
+
+    scene = random_scene(0, seed=0)
+    cam = Camera.create(h=64, w=64, position=(0.0, 0.0, 4.0))
+    mesh = make_mesh(n_data=1, n_gaussian=8)
+    config = RenderConfig(background=(0.2, 0.4, 0.6))
+    img, ov = render_sharded_tiled(scene, cam, mesh, config)
+    assert int(ov) == 0
+    np.testing.assert_allclose(np.asarray(img),
+                               np.broadcast_to([0.2, 0.4, 0.6],
+                                               (64, 64, 3)), atol=1e-6)
+    mesh2 = make_mesh(n_data=2, n_gaussian=4)
+    cams = orbit_trajectory(cam, num_frames=4)
+    imgs, ov_b = render_batch_sharded_tiled(scene, cams, mesh2, config)
+    assert imgs.shape == (4, 64, 64, 3)
+    assert int(ov_b) == 0
+
+
+def test_pack_device_memoized():
+    """pack_device() memoizes the default-device pack on the immutable
+    scene (review: the auto-packing render() re-sliced and re-uploaded
+    every frame); derived scenes get fresh caches."""
+    scene = random_scene(32, seed=1)
+    p1 = scene.pack_device()
+    assert scene.pack_device() is p1
+    assert scene.pad_to(64).pack_device() is not p1
+
+
 def test_a2a_uneven_slab_loads_cap_binds():
     """Uneven slab loads at moderate N where the default cap formula
     actually binds (round-2 review: the crossover math was asserted,
