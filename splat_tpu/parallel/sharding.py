@@ -114,6 +114,9 @@ def render_sharded(scene, camera: Camera, mesh: Mesh,
     """
     config = config or RenderConfig()
     h, w = camera.h, camera.w
+    if scene.num_gaussians == 0:  # empty shards break all_gather
+        # the dense sharded compositor is RGB-only; stay consistent
+        return _empty_frame(h, w, config)[..., :3]
     n_g = mesh.shape["g"]
     if h % n_g:
         raise ValueError(f"image height {h} not divisible by g={n_g}")
@@ -157,6 +160,10 @@ def render_batch_sharded(scene, cameras: Camera, mesh: Mesh,
     divisible by the 'd' axis size.  Returns (F, H, W, 3).
     """
     config = config or RenderConfig()
+    if scene.num_gaussians == 0:  # empty shards break all_gather
+        f = jnp.asarray(cameras.position).shape[0]
+        bg = _empty_frame(cameras.h, cameras.w, config)[..., :3]
+        return jnp.broadcast_to(bg, (f,) + bg.shape)
 
     def one_frame(scene_local, cam):
         # Identical to render_sharded's body but usable under vmap over 'd'

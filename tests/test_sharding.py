@@ -120,6 +120,11 @@ def test_sharded_tiled_zero_gaussian_scene():
     imgs, ov_b = render_batch_sharded_tiled(scene, cams, mesh2, config)
     assert imgs.shape == (4, 64, 64, 3)
     assert int(ov_b) == 0
+    # the dense sharded twins (RGB-only) must also early-return
+    img_d = render_sharded(scene, cam, mesh, config)
+    assert np.asarray(img_d).shape == (64, 64, 3)
+    imgs_d = render_batch_sharded(scene, cams, mesh2, config)
+    assert np.asarray(imgs_d).shape == (4, 64, 64, 3)
 
 
 def test_pack_device_memoized():
