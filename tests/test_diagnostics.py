@@ -47,3 +47,24 @@ def test_pair_stats_suggestion():
     assert stats["suggested_dup_factor"] >= 1.25
     # the suggestion must actually fit the measured load
     assert (stats["suggested_dup_factor"] * 512 >= stats["num_pairs"])
+
+
+def test_png_roundtrip_levels_and_rgba(tmp_path):
+    """encode_png/write_png/read_png: exact u8 round-trip for RGB and
+    RGBA at both the archival level and the stored-block (level 0)
+    serving path the viewer uses."""
+    import numpy as np
+
+    from splat_tpu.utils.image import encode_png, read_png, write_png
+
+    rng = np.random.default_rng(3)
+    for c in (3, 4):
+        img = rng.integers(0, 256, size=(24, 40, c), dtype=np.uint8)
+        for level in (0, 6):
+            p = str(tmp_path / f"t{c}_{level}.png")
+            write_png(p, img, level=level)
+            back = read_png(p)
+            assert back.shape == (24, 40, c)
+            np.testing.assert_array_equal(back, img)
+            # bytes API agrees with the file API
+            assert open(p, "rb").read() == encode_png(img, level=level)
