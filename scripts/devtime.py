@@ -53,6 +53,11 @@ def main():
                     help="transmittance prefix via MXU triangular cumsum "
                          "(the config default; --no-mxutr measures the "
                          "VPU prefix)")
+    ap.add_argument("--binning-key", choices=["rank", "depth"],
+                    default=None,
+                    help="pair-key low bits: depth rank (argsort + "
+                         "depth-order gather at N) or quantized depth "
+                         "(gaussian index rides the sort as payload)")
     ap.add_argument("--sigma-inf", action="store_true",
                     help="sigma_cutoff=inf: truncation-free bboxes, raster "
                          "kernel statically drops its bbox compares")
@@ -118,7 +123,9 @@ def main():
         if args.psnr:
             ps = [check("default", RenderConfig(
                 tile_px=args.tile, tile_py=args.tiley, chunk=args.chunk,
-                max_dup_factor=args.dup))]
+                max_dup_factor=args.dup,
+                binning_key=(args.binning_key
+                             or RenderConfig.binning_key)))]
         else:
             ps = [
                 check("default", RenderConfig()),
@@ -155,6 +162,16 @@ def main():
                 # RGBA output: 4-channel kernel write + untile
                 check("alpha_channel",
                       RenderConfig(alpha_channel=True)),
+                # depth-key binning: (tile ‖ quantized depth) keys with
+                # the gaussian index as sort payload — exercises the
+                # depth-byte table packing in the compiled expansion
+                # kernel plus the original-order feature gather
+                check("depth_key", RenderConfig(binning_key="depth")),
+                check("depth_key+cull",
+                      RenderConfig(binning_key="depth", cull_pairs=True)),
+                check("depth_key+xla",
+                      RenderConfig(binning_key="depth",
+                                   expand_impl="xla")),
             ]
         if min(ps) < 45.0:
             raise SystemExit(1)
@@ -175,6 +192,8 @@ def main():
                           cull_pairs=(args.nocull is False),
                           subtile_exit=args.subtile,
                           transmit_mxu=args.mxutr,
+                          binning_key=(args.binning_key
+                                       or RenderConfig.binning_key),
                           sigma_cutoff=(math.inf if args.sigma_inf
                                         else 3.0))
 

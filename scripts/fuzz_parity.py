@@ -105,6 +105,7 @@ def main():
             tight_radius=(True if sigma_cutoff == float("inf")
                           else bool(rng.random() < 0.8)),
             expand_impl=str(rng.choice(["auto", "xla"])),
+            binning_key=str(rng.choice(["rank", "depth"])),
             background=tuple(rng.uniform(0, 1, 3)))
         recipe = (f"case {case}: kind={kind} n={scene.num_gaussians} "
                   f"h={h} w={w} cfg={config}"

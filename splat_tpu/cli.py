@@ -51,6 +51,13 @@ def _add_render_flags(p: argparse.ArgumentParser) -> None:
                         "3-sigma quads); 'inf' = truncation-free mode "
                         "(requires tight radii; the raster kernel "
                         "statically drops its bbox compares)")
+    p.add_argument("--binning-key", choices=["rank", "depth"],
+                   default=None,
+                   help="pair sort-key low bits (default: the "
+                        "RenderConfig default): 'depth' skips the N-side "
+                        "depth argsort/gather (quantized-depth keys, "
+                        "index payload); 'rank' keeps exact depth-rank "
+                        "tie-breaking")
     p.add_argument("--method", choices=["auto", "dense", "tiled"],
                    default="auto")
     p.add_argument("--profile", metavar="LOGDIR", default=None,
@@ -95,6 +102,8 @@ def _config(args, scene=None, cam=None):
     from splat_tpu.config import RenderConfig
 
     sigma = float(getattr(args, "sigma_cutoff", "3.0"))  # 'inf' parses
+    bkey = (getattr(args, "binning_key", None)
+            or RenderConfig.binning_key)
     dup = getattr(args, "dup_factor", "4")
     if dup == "auto":
         if scene is None or cam is None:
@@ -102,7 +111,7 @@ def _config(args, scene=None, cam=None):
         from splat_tpu.render.api import pair_stats
         base = RenderConfig(sh_degree=args.sh_degree, lowpass=args.lowpass,
                             tile_px=args.tile, tile_py=args.tile_y,
-                            sigma_cutoff=sigma,
+                            sigma_cutoff=sigma, binning_key=bkey,
                             background=_parse_vec(args.background, 3))
         stats = pair_stats(scene, cam, base)
         dup = stats["suggested_dup_factor"]
@@ -113,6 +122,7 @@ def _config(args, scene=None, cam=None):
                         tile_px=args.tile, tile_py=args.tile_y,
                         max_dup_factor=float(dup), sigma_cutoff=sigma,
                         alpha_channel=getattr(args, "alpha", False),
+                        binning_key=bkey,
                         background=_parse_vec(args.background, 3))
 
 

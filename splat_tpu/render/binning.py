@@ -4,19 +4,31 @@ This is the INRIA-style tiled decomposition the reference *describes* but
 never built (reference notes.md:19-42: DuplicateWithKeys, radix sort,
 per-tile ranges), reformulated for XLA's static shapes:
 
-1. depth-sort the N projected gaussians once (front-to-back);
+1. establish front-to-back order.  Two modes (config.binning_key):
+   "depth": NO global reorder — the pair sort key's low bits
+   are the gaussian's quantized view depth (min(24, 32 - tile_bits)
+   bits over the frame's visible depth range) and its index rides the
+   pair sort as one int32 payload.  "rank": one argsort of N depth
+   keys; all later stages work in depth order and the key's low bits
+   are the unique depth RANK (exact tie-breaking, and the N-side pays
+   the argsort plus an 8-row gather into depth order — each TPU gather
+   index costs ~4-5 ns, so this is ~6-7 ms at N=1M);
 2. each visible gaussian covers a rectangle of tiles derived from its
    sigma_cutoff bbox; per-gaussian pair counts -> exclusive prefix sum;
 3. expand to a capacity-bounded slot array: the Pallas expansion kernel
    (render/expand.py) recovers each slot's owner by windowed comparison
    against the sorted first_slot array and emits the packed
-   (tile id ‖ depth rank) sort key via a one-hot MXU contraction — no
-   scatter, gather, or cumsum at K scale (an XLA diff-scatter-cumsum
-   fallback covers huge tile grids / k_cap >= 2^24);
-4. ONE unstable sort on packed (tile id ‖ depth rank) uint keys groups
-   pairs per tile with exact front-to-back order inside each tile (ranks
-   are unique and depth-ascending), replacing a stable key+payload sort —
-   and the sorted key's low bits are directly the feature-gather indices;
+   (tile id ‖ depth) sort key (plus, in depth mode, the gaussian-index
+   payload) via a one-hot MXU contraction — no scatter, gather, or
+   cumsum at K scale (an XLA diff-scatter-cumsum fallback covers huge
+   tile grids / k_cap >= 2^24);
+4. ONE unstable sort groups pairs per tile, front-to-back inside each
+   tile: in rank mode a single-array sort whose sorted low bits are
+   directly the feature-gather indices; in depth mode a key+ONE-payload
+   sort whose sorted payload is the gather index (payload movement
+   costs ~1.5 ms/row at K ~ 2M — cheap against the N-side it deletes,
+   ruinous for the 8-row feature table, which is why features are
+   gathered after the sort in both modes);
 5. per-tile [start, end) ranges via searchsorted over the sorted keys;
 6. ONE 8-row feature gather at K.  TPU gather cost jumps ~5x above 8
    rows (measured on v5e), so the 11 per-pair quantities are packed into
@@ -34,8 +46,10 @@ payload operands to skip the gather — payload movement through the sort
 network costs ~1.5 ms per row at K=2.2M, dwarfing the gather.)
 
 Capacity: K_cap = max_dup_factor * N slots.  If a frame produces more pairs,
-the overflow count is returned (pairs dropped are the *deepest* ones —
-graceful degradation) and surfaced by the non-jit wrapper.
+the overflow count is returned and surfaced by the non-jit wrapper (in
+rank mode the dropped pairs are the *deepest* ones — graceful
+degradation; in depth mode they are the highest-index gaussians of the
+scene's storage order — either way overflow is never silent).
 """
 
 from __future__ import annotations
@@ -69,9 +83,13 @@ class TileBins:
       (1, chunk) window-level ops — far cheaper than gathering wider
       rows (gather cost jumps ~5x above 8 rows).
     tile_start/tile_end: (T,) int32 pair ranges per tile.
-    ranks: (K_cap,) int32 — each sorted pair's depth rank.  Unused by the
-      kernel; exposes the front-to-back contract (ranks are strictly
-      increasing within every tile's range) for tests and diagnostics.
+    ranks: (K_cap,) int32 — each sorted pair's feature-gather index:
+      with binning_key="rank" the depth rank (strictly increasing within
+      every tile's range — the exact front-to-back contract); with
+      binning_key="depth" the pair's gaussian index in original scene
+      order (within a tile, the gaussians' quantized depths are
+      nondecreasing).  Unused by the kernel; exposed for tests and
+      diagnostics.
     num_pairs: () int32 total valid pairs (pre-capacity).
     overflow: () int32 pairs dropped due to capacity.
     """
@@ -237,10 +255,43 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     k_cap = -(-int(config.max_dup_factor * n) // grain) * grain
 
     # -- 1. front-to-back global order ------------------------------------
-    depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
-    order = jnp.argsort(depth_key)
-    if debug_stage == "order":
-        return jnp.sum(order)
+    # binning_key == "rank": ONE argsort of N depth keys; every later
+    #   stage works in depth order and the pair key's low bits are the
+    #   depth RANK (unique, ascending -> exact front-to-back per tile,
+    #   and the sorted key's low bits double as feature-gather indices).
+    # binning_key == "depth": no global reorder at all.  The pair key's
+    #   low bits are the QUANTIZED depth (min(24, 32 - tile_bits) bits,
+    #   normalized to this frame's visible depth range) and the gaussian
+    #   index rides the pair sort as one int32 payload operand.  This
+    #   deletes the argsort AND the 8-row gather into depth order —
+    #   both pay the ~4-5 ns/index TPU gather floor at N — for ~1.5 ms
+    #   of payload movement through the K-sort.  Ties (same quantized
+    #   depth, same tile) composite in arbitrary order; at >= 2^18
+    #   levels per frame depth range this is visually nil (the dense
+    #   path and the oracle keep exact stable ordering).
+    num_tiles_bits = max(int(num_tiles).bit_length(), 1)
+    depth_mode = config.binning_key == "depth"
+    if depth_mode:
+        depth_bits = max(1, min(24, 32 - num_tiles_bits))
+        qmax = float((1 << depth_bits) - 1)
+        dvis = jnp.where(proj.visible, proj.depth, jnp.inf)
+        dmin = jnp.min(dvis)
+        dmax = jnp.max(jnp.where(proj.visible, proj.depth, -jnp.inf))
+        scale = qmax / jnp.maximum(dmax - dmin, 1e-30)
+        # monotone in depth: f32 subtract/multiply/floor/clip are all
+        # correctly rounded monotone maps, so order is preserved exactly
+        # up to quantization ties
+        dqf = jnp.floor((dvis - dmin) * scale)
+        dq = jnp.clip(jnp.where(jnp.isfinite(dqf), dqf, 0.0), 0.0, qmax
+                      ).astype(jnp.int32)
+        order = None
+        if debug_stage == "order":
+            return jnp.sum(dq)
+    else:
+        depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
+        order = jnp.argsort(depth_key)
+        if debug_stage == "order":
+            return jnp.sum(order)
 
     # -- 2. pack features; tile spans + pair counts --------------------------
     cx, cy = proj.center_px[:, 0], proj.center_px[:, 1]
@@ -269,7 +320,7 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     # quantized radii (the quantized value is the single source of truth
     # for both the tile rect and the kernel's bbox test), which frees the
     # two geometry rows an explicit span encoding would need.
-    feats_d = jnp.take(jnp.stack([
+    feats_n = jnp.stack([
         _f32_bits(cx),
         _f32_bits(cy),
         _f32_bits(-0.5 * proj.conic[:, 0]),
@@ -280,7 +331,11 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
         _pack_u16(jnp.clip(proj.color[:, 2], 0.0, 1.0),
                   jnp.asarray(proj.opacity), _U16, _U16),
         quantize_radius_bits(rx, ry, proj.visible),
-    ]), order, axis=1)                                          # (8, N)
+    ])                                                          # (8, N)
+    # depth mode skips the reorder entirely: spans, the expansion walk,
+    # and the feature table all stay in original scene order (the
+    # post-sort gather indexes it through the sorted payload)
+    feats_d = feats_n if depth_mode else jnp.take(feats_n, order, axis=1)
     cx_d = _bits_f32(feats_d[0])
     cy_d = _bits_f32(feats_d[1])
     tx0_d, ty0_d, sw_d, counts = tile_spans(cx_d, cy_d, feats_d[7],
@@ -293,16 +348,21 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     if debug_stage == "counts":
         return total + jnp.sum(first_slot)
 
-    # -- 3. per-slot expansion -> packed (tile ‖ rank) sort keys -----------
+    # -- 3. per-slot expansion -> packed sort keys -------------------------
     bits_rank = max(int(n - 1).bit_length(), 1)
-    bits_tile = max(int(num_tiles).bit_length(), 1)  # sentinel must fit
+    bits_tile = num_tiles_bits                       # sentinel must fit
     # 32 bits are usable, not 31: when the key fills the sign bit, XOR-ing
     # the whole key space with 0x80000000 makes signed int32 order equal
     # unsigned order (the classic radix trick), so lax.sort still groups
-    # by tile.  Rank extraction is unaffected (the flip touches only the
-    # top tile bit).
-    packed_key = bits_tile + bits_rank <= 32
-    key_xor = -(1 << 31) if bits_tile + bits_rank == 32 else 0
+    # by tile.  Low-bits extraction is unaffected (the flip touches only
+    # the top tile bit).
+    if depth_mode:
+        low_bits = depth_bits        # chosen above to always fit 32 bits
+        packed_key = True
+    else:
+        low_bits = bits_rank
+        packed_key = bits_tile + bits_rank <= 32
+    key_xor = -(1 << 31) if bits_tile + low_bits == 32 else 0
     use_pallas_expand = (
         config.expand_impl != "xla"
         and packed_key and k_cap < _expand.MAX_KCAP
@@ -320,18 +380,24 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
             ccx, ccy, r_cull, _, _ = _decode_cull_inputs(
                 feats_d, config.alpha_min)
             cull_cols = (ccx, ccy, r_cull)
-        key = _expand.expand_pair_keys(
+        res = _expand.expand_pair_keys(
             first_slot, tx0_d, ty0_d, sw_d,
             total, n=n, k_cap=k_cap, ntx=ntx, num_tiles=num_tiles,
             bits_rank=bits_rank, tile_wh=(tpx, tpy), key_xor=key_xor,
-            cull=cull_cols, interpret=interpret)
+            cull=cull_cols,
+            depth_q=dq if depth_mode else None,
+            depth_bits=depth_bits if depth_mode else 0,
+            interpret=interpret)
+        key, idx = res if depth_mode else (res, None)
         if config.cull_pairs:
             # pairs the kernel will actually walk (post-cull)
-            tile_of = ((key ^ key_xor) >> bits_rank) & ((1 << bits_tile) - 1)
+            tile_of = ((key ^ key_xor) >> low_bits) & ((1 << bits_tile) - 1)
             num_pairs = jnp.sum((tile_of != num_tiles).astype(jnp.int32))
         if debug_stage in ("slots", "tiles"):
-            return jnp.sum(key)
-        return _sort_and_gather(key, None, sorted_rank_bits=bits_rank,
+            s = jnp.sum(key)
+            return s + jnp.sum(idx) if idx is not None else s
+        return _sort_and_gather(key, None, payload=idx,
+                                sorted_rank_bits=low_bits,
                                 key_xor=key_xor, feats_d=feats_d,
                                 num_tiles=num_tiles, num_pairs=num_pairs,
                                 overflow=overflow, ntx=ntx, nty=nty,
@@ -357,10 +423,12 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     slot_ids = jnp.arange(k_cap, dtype=jnp.int32)
     geom = tx0_d | (ty0_d << bits_x) | (sw_d << (bits_x + bits_y))
     if packed_first:
-        word = geom | ((first_slot & mask_r) << shift_f)
-        rows = jnp.stack([word])                                   # (1, N)
+        row_list = [geom | ((first_slot & mask_r) << shift_f)]
     else:
-        rows = jnp.stack([geom, first_slot])                       # (2, N)
+        row_list = [geom, first_slot]
+    if depth_mode:
+        row_list.append(dq)        # expands to each slot's owner depth_q
+    rows = jnp.stack(row_list)                                     # (R, N)
     deltas = jnp.concatenate(
         [rows[:, :1], rows[:, 1:] - rows[:, :-1]], axis=1)         # wraps ok
     idx = jnp.minimum(first_slot, k_cap)
@@ -379,6 +447,7 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
         jnp.zeros((k_cap + 1,), jnp.int32).at[idx].add(
             ones, mode="drop")[:k_cap]) - 1
     rank_e = jnp.clip(rank_e, 0, n - 1)
+    dq_e = expanded.pop() if depth_mode else None
     if packed_first:
         (word_e,) = expanded
         geom_e = word_e  # low bits hold geometry; masks below select fields
@@ -431,11 +500,17 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     # pairs the kernel will actually walk (post-cull)
     num_pairs = jnp.sum(valid.astype(jnp.int32))
     pair = None
-    if packed_key:
+    payload = None
+    if depth_mode:
+        dq_ok = jnp.clip(dq_e, 0, (1 << depth_bits) - 1)
+        key = ((tile_id << depth_bits) | dq_ok) ^ key_xor
+        payload = rank_e         # walk order == original order here
+    elif packed_key:
         key = ((tile_id << bits_rank) | rank_e) ^ key_xor
     else:
         pair = (tile_id, rank_e)
-    return _sort_and_gather(key, pair, sorted_rank_bits=bits_rank,
+    return _sort_and_gather(key, pair, payload=payload,
+                            sorted_rank_bits=low_bits,
                             key_xor=key_xor, feats_d=feats_d,
                             num_tiles=num_tiles, num_pairs=num_pairs,
                             overflow=overflow, ntx=ntx, nty=nty,
@@ -445,17 +520,29 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
 def _sort_and_gather(key, pair, *, sorted_rank_bits: int, key_xor: int,
                      feats_d, num_tiles: int, num_pairs, overflow,
                      ntx: int, nty: int, config: RenderConfig,
-                     debug_stage: str | None):
+                     debug_stage: str | None, payload=None):
     """Steps 4-6: tile sort, per-tile ranges, feature gather.
 
-    When (tile ‖ rank) fits in 31 bits (``key`` given), ONE unstable
-    single-array sort on the packed key replaces the stable key+payload
-    sort: ranks are unique and ascending in depth, so ordering by the
-    packed key groups by tile with exact front-to-back order inside each
-    tile — and the sorted key's low bits ARE the feature-gather indices
-    into the depth-ordered feature table.
+    Rank keys (``key`` given, no payload): ONE unstable single-array sort
+    on the packed (tile ‖ rank) key replaces the stable key+payload sort:
+    ranks are unique and ascending in depth, so ordering by the packed
+    key groups by tile with exact front-to-back order inside each tile —
+    and the sorted key's low bits ARE the feature-gather indices into the
+    depth-ordered feature table.
+
+    Depth keys (``payload`` given): the key is (tile ‖ quantized depth)
+    and the payload carries each slot's gaussian index through the sort
+    (one extra int32 operand, ~1.5 ms at K ~ 2M — far cheaper than the
+    N-side argsort + depth-order gather it replaces); the sorted payload
+    is the feature-gather index into the ORIGINAL-order feature table.
     """
-    if key is not None:
+    if key is not None and payload is not None:
+        sorted_key, sorted_rank = jax.lax.sort((key, payload), num_keys=1,
+                                               is_stable=False)
+        edge_queries = ((jnp.arange(num_tiles + 1, dtype=jnp.int32)
+                         << sorted_rank_bits) ^ key_xor)
+        edge_space = sorted_key
+    elif key is not None:
         sorted_key = jax.lax.sort(key)
         sorted_rank = sorted_key & ((1 << sorted_rank_bits) - 1)
         edge_queries = ((jnp.arange(num_tiles + 1, dtype=jnp.int32)

@@ -1,10 +1,13 @@
-"""Pallas pair-expansion kernel: slots -> packed (tile ‖ rank) sort keys.
+"""Pallas pair-expansion kernel: slots -> packed pair sort keys.
 
-Expands N depth-sorted gaussians (each covering a rectangle of
-``counts[g]`` tiles) into a capacity-bounded array of K_cap packed sort
-keys — the DuplicateWithKeys step of the INRIA tiled algorithm the
-reference only describes (reference notes.md:19-42) — without any
-scatter, gather, or cumsum at K scale.
+Expands N gaussians (each covering a rectangle of ``counts[g]`` tiles)
+into a capacity-bounded array of K_cap packed sort keys — the
+DuplicateWithKeys step of the INRIA tiled algorithm the reference only
+describes (reference notes.md:19-42) — without any scatter, gather, or
+cumsum at K scale.  Two key modes (config.binning_key, see binning.py):
+rank keys (input order = depth order, key low bits = owner row) and
+depth keys (any input order; key low bits = the owner's quantized depth,
+plus a second output carrying the owner row as the pair sort's payload).
 
 Why a kernel: XLA's formulation (scatter N deltas + cumsum over K) costs
 ~6-7 ns per scattered element on the TPU scalar core plus K-length
@@ -74,9 +77,15 @@ MAX_KCAP = (1 << 24) - 256      # first_slot must stay f32/3-byte exact
 MAX_TILE_COORD = 255            # tx0 / ty0 / span_w must fit one byte
 
 
-def _expand_kernel(seg_ref, total_ref, table_hbm, out_ref, win, sem,
-                   *, ntx: int, bits_rank: int, num_tiles: int, n: int,
-                   cull: bool, tw8: int, th8: int, key_xor: int):
+def _expand_kernel(seg_ref, total_ref, table_hbm, *rest,
+                   ntx: int, bits_rank: int, num_tiles: int, n: int,
+                   cull: bool, tw8: int, th8: int, key_xor: int,
+                   depth_bits: int):
+    if depth_bits:
+        out_ref, idx_ref, win, sem = rest
+    else:
+        out_ref, win, sem = rest
+        idx_ref = None
     prog = pl.program_id(0)
     total = total_ref[0]
 
@@ -118,15 +127,33 @@ def _expand_kernel(seg_ref, total_ref, table_hbm, out_ref, win, sem,
         onehot = le[:, :CWIN] & jnp.logical_not(le[:, 1:CWIN + 1])
         onehot = onehot.astype(jnp.bfloat16)            # (B, CWIN)
 
-        if cull:
-            # row 5 packs sw + 256*r8; rows 6/7 are cx8/cy8 (see
-            # expand_pair_keys) — decompose before the matmul so every
-            # value row stays <= 255 (bf16-exact).
-            comb = w[5:6, :CWIN]
-            r8_row = jnp.floor(comb * (1.0 / 256.0))
-            sw_row = comb - 256.0 * r8_row
+        # Table rows beyond the 3 first_slot byte rows carry packed
+        # <= 255 pairs (a + 256*b, f32-exact <= 65535); decompose before
+        # the matmul so every contracted value row stays <= 255
+        # (bf16-exact).  See expand_pair_keys for each mode's layout.
+        def split256(row):
+            hi = jnp.floor(row * (1.0 / 256.0))
+            return row - 256.0 * hi, hi
+
+        if cull and depth_bits:
+            # 3: tx0+256*d0, 4: ty0+256*d1, 5: sw+256*r8, 6: cx8+256*d2
+            tx0_row, d0_row = split256(w[3:4, :CWIN])
+            ty0_row, d1_row = split256(w[4:5, :CWIN])
+            sw_row, r8_row = split256(w[5:6, :CWIN])
+            cx8_row, d2_row = split256(w[6:7, :CWIN])
+            vrows = [w[0:3, :CWIN], tx0_row, ty0_row, sw_row,
+                     cx8_row, w[7:8, :CWIN], r8_row,
+                     d0_row, d1_row, d2_row, j_bytes]
+        elif cull:
+            # 5: sw + 256*r8; 6/7: cx8/cy8
+            sw_row, r8_row = split256(w[5:6, :CWIN])
             vrows = [w[0:5, :CWIN], sw_row,
                      w[6:8, :CWIN], r8_row, j_bytes]
+        elif depth_bits:
+            # 5: sw + 256*d2; 6/7: d0/d1
+            sw_row, d2_row = split256(w[5:6, :CWIN])
+            vrows = [w[0:5, :CWIN], sw_row,
+                     w[6:8, :CWIN], d2_row, j_bytes]
         else:
             vrows = [w[0:6, :CWIN], j_bytes]
         values = jnp.concatenate(vrows).astype(jnp.bfloat16)
@@ -140,7 +167,8 @@ def _expand_kernel(seg_ref, total_ref, table_hbm, out_ref, win, sem,
         tx0 = res[3:4]
         ty0 = res[4:5]
         sw = jnp.maximum(res[5:6], 1.0)
-        ji = 9 if cull else 6
+        di = 9 if cull else 6           # depth byte rows (depth mode)
+        ji = di + 3 if depth_bits else (9 if cull else 6)
         rank = base + (res[ji:ji + 1]
                        + 256.0 * res[ji + 1:ji + 2]).astype(jnp.int32)
         rank = jnp.clip(rank, 0, n - 1)
@@ -151,16 +179,25 @@ def _expand_kernel(seg_ref, total_ref, table_hbm, out_ref, win, sem,
         dy = jnp.floor((r + 0.5) / sw)
         dx = r - dy * sw
         tile = (ty0 + dy) * float(ntx) + tx0 + dx       # exact: < 2^24
-        # key_xor flips the sign bit when tile+rank bits fill 32, making
+        # key_xor flips the sign bit when tile+low bits fill 32, making
         # signed sort order equal unsigned order (see binning.py); shifts
         # that overflow int31 wrap to exactly the intended bit pattern.
         # (The sentinel's high part is wrapped host-side: a Python int
         # above 2^31 - 1 cannot become an int32 constant.)
-        key = ((tile.astype(jnp.int32) << bits_rank) | rank) ^ key_xor
-        sent_hi = (num_tiles << bits_rank) & 0xFFFFFFFF
+        if depth_bits:
+            # depth mode: low bits = quantized depth; the gaussian index
+            # rides the sort as a payload (idx_ref) instead of the key.
+            low = (res[di:di + 1] + 256.0 * res[di + 1:di + 2]
+                   + 65536.0 * res[di + 2:di + 3]).astype(jnp.int32)
+            shift = depth_bits
+        else:
+            low = rank
+            shift = bits_rank
+        key = ((tile.astype(jnp.int32) << shift) | low) ^ key_xor
+        sent_hi = (num_tiles << shift) & 0xFFFFFFFF
         if sent_hi >= 1 << 31:
             sent_hi -= 1 << 32
-        sentinel = (sent_hi | rank) ^ key_xor
+        sentinel = (sent_hi | low) ^ key_xor
         key = jnp.where(k0 + k_row < total, key, sentinel)
         if cull:
             # Conservative dead-pair test in 8-px units: the tile rect is
@@ -182,6 +219,8 @@ def _expand_kernel(seg_ref, total_ref, table_hbm, out_ref, win, sem,
             key = jnp.where(dead, sentinel, key)
 
         out_ref[pl.ds(t, 1), :] = key
+        if depth_bits:
+            idx_ref[pl.ds(t, 1), :] = rank
         return 0
 
     jax.lax.fori_loop(0, BLOCKS_PER_PROG, body, 0, unroll=False)
@@ -190,11 +229,14 @@ def _expand_kernel(seg_ref, total_ref, table_hbm, out_ref, win, sem,
 def expand_pair_keys(first_slot, tx0, ty0, span_w, total, *, n: int,
                      k_cap: int, ntx: int, num_tiles: int, bits_rank: int,
                      tile_wh=(32, 32), key_xor: int = 0, cull=None,
+                     depth_q=None, depth_bits: int = 0,
                      interpret: bool = False):
-    """(N,) depth-ordered spans -> (k_cap,) packed (tile ‖ rank) keys.
+    """(N,) spans -> (k_cap,) packed sort keys (+ gather indices).
 
     first_slot: exclusive prefix sum of per-gaussian tile counts.
-    tx0/ty0/span_w: tile-rect origin and width per gaussian (depth order).
+    tx0/ty0/span_w: tile-rect origin and width per gaussian, in the SAME
+      order as first_slot (depth order for rank keys; any order — in
+      practice the original scene order — for depth keys).
     total: () int32 — true pair count (slots >= min(total, k_cap) get the
       sentinel tile ``num_tiles`` so they sort to the end).
     cull: optional (cx_px, cy_px, r_cull_px) per-gaussian f32 arrays — the
@@ -202,11 +244,23 @@ def expand_pair_keys(first_slot, tx0, ty0, span_w, total, *, n: int,
       everywhere.  Pairs whose whole tile lies (conservatively, in 8-px
       quanta) outside that radius get the sentinel key: lossless, since
       the raster kernel's own alpha cutoff would zero them.
+    depth_q/depth_bits: depth-key mode (config.binning_key == "depth").
+      depth_q is the (N,) int32 per-gaussian quantized depth
+      (< 2^depth_bits, depth_bits <= 24); the emitted key is
+      (tile ‖ depth_q) and a SECOND (k_cap,) int32 output carries each
+      slot's gaussian index (the caller's walk-order row — rides the
+      pair sort as a payload and becomes the post-sort feature-gather
+      index).  The three depth bytes travel in the value table packed
+      as a + 256*b pairs with the <= 255 rows (f32-exact <= 65535), so
+      the table stays exactly 8 rows in every mode.  Returns
+      (keys, indices) instead of keys.
     Requires k_cap % (BLOCK * BLOCKS_PER_PROG) == 0, k_cap < 2^24, and
     tile coords <= 255 (callers fall back to the XLA path otherwise).
     """
     assert k_cap % (BLOCK * BLOCKS_PER_PROG) == 0
     assert tile_wh[0] % 8 == 0 and tile_wh[1] % 8 == 0
+    assert (depth_q is None) == (depth_bits == 0)
+    assert depth_bits <= 24
     num_blocks = k_cap // BLOCK
     n_pad = -(-(n + WINDOW) // 128) * 128
 
@@ -218,6 +272,10 @@ def expand_pair_keys(first_slot, tx0, ty0, span_w, total, *, n: int,
                 (v >> 16).astype(jnp.float32)]
     def pad0(v):
         return jnp.pad(v.astype(jnp.float32), (0, n_pad - n))
+    if depth_q is not None:
+        d0 = (depth_q & 255).astype(jnp.float32)
+        d1 = ((depth_q >> 8) & 255).astype(jnp.float32)
+        d2 = ((depth_q >> 16) & 255).astype(jnp.float32)
     if cull is not None:
         cx, cy, r_cull = cull
         # NaN/inf sanitation is load-bearing: one non-finite value row
@@ -242,9 +300,26 @@ def expand_pair_keys(first_slot, tx0, ty0, span_w, total, *, n: int,
             1.0, 255.0)
         r8 = jnp.where(bad, 255.0, r8)
         sw_comb = span_w.astype(jnp.float32) + 256.0 * r8
+        if depth_q is not None:
+            # depth bytes pack into the <= 255 rows (all sums <= 65535,
+            # f32-exact; the kernel splits them back out before the
+            # contraction): 3: tx0+256*d0, 4: ty0+256*d1, 6: cx8+256*d2
+            table = jnp.stack(bytes3(fs_full)
+                              + [pad0(tx0.astype(jnp.float32) + 256.0 * d0),
+                                 pad0(ty0.astype(jnp.float32) + 256.0 * d1),
+                                 pad0(sw_comb),
+                                 pad0(cx8 + 256.0 * d2), pad0(cy8)])
+        else:
+            table = jnp.stack(bytes3(fs_full)
+                              + [pad0(tx0), pad0(ty0), pad0(sw_comb),
+                                 pad0(cx8), pad0(cy8)])       # (8, n_pad)
+    elif depth_q is not None:
+        # 5: sw + 256*d2 (span_w ∈ [1, 255] so the split is exact);
+        # 6/7: d0/d1
         table = jnp.stack(bytes3(fs_full)
-                          + [pad0(tx0), pad0(ty0), pad0(sw_comb),
-                             pad0(cx8), pad0(cy8)])           # (8, n_pad)
+                          + [pad0(tx0), pad0(ty0),
+                             pad0(span_w.astype(jnp.float32) + 256.0 * d2),
+                             pad0(d0), pad0(d1)])
     else:
         table = jnp.stack(bytes3(fs_full)
                           + [pad0(tx0), pad0(ty0), pad0(span_w)]
@@ -261,14 +336,17 @@ def expand_pair_keys(first_slot, tx0, ty0, span_w, total, *, n: int,
                                bits_rank=bits_rank, num_tiles=num_tiles,
                                n=n, cull=cull is not None,
                                tw8=tile_wh[0] // 8, th8=tile_wh[1] // 8,
-                               key_xor=key_xor)
+                               key_xor=key_xor, depth_bits=depth_bits)
+    out_spec = pl.BlockSpec((BLOCKS_PER_PROG, BLOCK),
+                            lambda p, *_: (p, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((num_blocks, BLOCK), jnp.int32)
+    two_out = depth_q is not None
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_blocks // BLOCKS_PER_PROG,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((BLOCKS_PER_PROG, BLOCK),
-                               lambda p, *_: (p, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[out_spec, out_spec] if two_out else out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, 8, WINDOW), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -277,7 +355,10 @@ def expand_pair_keys(first_slot, tx0, ty0, span_w, total, *, n: int,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_blocks, BLOCK), jnp.int32),
+        out_shape=[out_shape, out_shape] if two_out else out_shape,
         interpret=interpret,
     )(seg_base, total.reshape(1), table)
+    if two_out:
+        key, idx = out
+        return key.reshape(k_cap), idx.reshape(k_cap)
     return out.reshape(k_cap)

@@ -175,3 +175,68 @@ def test_owner_window_bound_edge():
     want = (tile << bits_rank) | owner
     want = np.where(slots < total, want, (num_tiles << bits_rank) | owner)
     np.testing.assert_array_equal(key, want.astype(np.int32))
+
+
+def test_depth_key_expand_matches_xla(small_random_scene):
+    """binning_key='depth': the Pallas kernel's (key, index) outputs and
+    the XLA fallback's must be bit-exact, so the sorted pair order, tile
+    ranges, and gathered features are equal arrays."""
+    cam = Camera.create(h=96, w=128, position=(0.0, 0.0, 4.0))
+    bins = _compare(small_random_scene, cam, binning_key="depth")
+    assert int(bins.num_pairs) > 0
+    # capacity truncation must also agree bit-exactly; cull_pairs is NOT
+    # compared here — the in-kernel 8-px-quantized cull and the XLA
+    # exact-threshold cull are different (both lossless) tests, and the
+    # depth render path under cull is covered by test_tiled's parity
+    _compare(small_random_scene, cam, binning_key="depth",
+             max_dup_factor=1.0)
+
+
+def test_depth_key_owner_window_edge():
+    """Depth-mode twin of test_owner_window_bound_edge: the kernel must
+    emit (tile ‖ depth_q) keys plus the owner-index payload, with the
+    three depth bytes riding the packed <= 255 table rows.  Checked
+    against a direct NumPy model, including the odd-aligned owner-window
+    case (counts = [2, 1, 1, ...])."""
+    import jax.numpy as jnp
+    from splat_tpu.render import expand as _expand
+
+    n = 700
+    counts = np.ones(n, np.int64)
+    counts[0] = 2
+    first_slot = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(counts.sum())
+    ntx, nty = 7, 5
+    num_tiles = ntx * nty
+    tx0 = (np.arange(n) % (ntx - 1)).astype(np.int32)
+    ty0 = ((np.arange(n) // 7) % nty).astype(np.int32)
+    sw = np.ones(n, np.int32)
+    sw[0] = 2
+    depth_bits = 21
+    rng = np.random.default_rng(7)
+    dq = rng.integers(0, 1 << depth_bits, size=n).astype(np.int32)
+    k_cap = _expand.BLOCK * _expand.BLOCKS_PER_PROG
+    key_xor = 0
+
+    key, idx = _expand.expand_pair_keys(
+        jnp.asarray(first_slot, jnp.int32), jnp.asarray(tx0),
+        jnp.asarray(ty0), jnp.asarray(sw), jnp.asarray(total, jnp.int32),
+        n=n, k_cap=k_cap, ntx=ntx, num_tiles=num_tiles,
+        bits_rank=max(int(n - 1).bit_length(), 1), tile_wh=(16, 16),
+        key_xor=key_xor, depth_q=jnp.asarray(dq), depth_bits=depth_bits,
+        interpret=True)
+    key, idx = np.asarray(key), np.asarray(idx)
+
+    slots = np.arange(k_cap)
+    owner = np.searchsorted(first_slot, slots, side="right") - 1
+    owner = np.clip(owner, 0, n - 1)
+    r = slots - first_slot[owner]
+    dy = r // sw[owner]
+    dx = r - dy * sw[owner]
+    tile = (ty0[owner] + dy) * ntx + tx0[owner] + dx
+    want = (tile.astype(np.int64) << depth_bits) | dq[owner]
+    sent = (num_tiles << depth_bits) | dq[owner]
+    want = np.where(slots < total, want, sent)
+    np.testing.assert_array_equal(
+        key, (want & 0xFFFFFFFF).astype(np.uint32).view(np.int32))
+    np.testing.assert_array_equal(idx, owner.astype(np.int32))

@@ -201,3 +201,24 @@ def test_render_batch_sharded_tiled_checked_binning_overflow():
     with pytest.raises(RuntimeError, match="truncated"):
         render_batch_sharded_tiled_checked(scene, cams, mesh, config,
                                            route="gather")
+
+
+def test_render_sharded_tiled_depth_key():
+    """binning_key='depth' through the sharded slab pipeline: both routes
+    must match dense, and a2a must agree with gather (the slab visibility
+    re-gate makes the per-slab quantization range route-independent)."""
+    from splat_tpu.parallel.sharding import render_sharded_tiled
+    scene = random_scene(256, seed=21, extent=2.0, scale_range=(0.02, 0.1))
+    cam = Camera.create(h=64, w=64, position=(0.0, 0.0, 4.0))
+    config = RenderConfig(chunk=128, binning_key="depth")
+    mesh = make_mesh(n_data=1, n_gaussian=8)
+    want = np.asarray(render_dense(scene, cam, config))
+    imgs = {}
+    for route in ("a2a", "gather"):
+        got, overflow = render_sharded_tiled(scene, cam, mesh, config,
+                                             route=route)
+        assert int(overflow) == 0, route
+        imgs[route] = np.asarray(got)
+        p = psnr(imgs[route], want)
+        assert p >= 45.0, f"depth-key sharded[{route}] PSNR {p:.2f} dB"
+    np.testing.assert_allclose(imgs["a2a"], imgs["gather"], atol=1e-5)

@@ -378,3 +378,85 @@ class TestTiledRender:
                                interpret=True, return_stats=True)
         assert stats["num_pairs"] == int(full["num_pairs"])
         assert stats["visible"] == int(full["visible"])
+
+
+class TestDepthKeyBinning:
+    """binning_key='depth': (tile ‖ quantized depth) keys with the
+    gaussian index riding the pair sort as a payload — no N-side argsort
+    or depth-order gather (see binning.py step 1)."""
+
+    def test_matches_rank_mode_pair_sets(self, small_random_scene):
+        """Both modes must produce the same per-tile pair SETS and
+        ranges; only the within-tile tie order may differ (and with
+        distinct depths, not even that)."""
+        cam = Camera.create(h=96, w=128, position=(0.0, 0.0, 4.0))
+        proj = project_gaussians(small_random_scene, cam, _cfg())
+        br = build_tile_bins(proj, 96, 128, _cfg(binning_key="rank"))
+        bd = build_tile_bins(proj, 96, 128, _cfg(binning_key="depth"))
+        np.testing.assert_array_equal(np.asarray(br.tile_start),
+                                      np.asarray(bd.tile_start))
+        np.testing.assert_array_equal(np.asarray(br.tile_end),
+                                      np.asarray(bd.tile_end))
+        assert int(br.num_pairs) == int(bd.num_pairs)
+        # rank mode's ranks are depth ranks; map them to gaussian
+        # indices via the depth order to compare pair sets
+        depth_key = np.where(np.asarray(proj.visible),
+                             np.asarray(proj.depth), np.inf)
+        order = np.argsort(depth_key, kind="stable")
+        start = np.asarray(br.tile_start)
+        end = np.asarray(br.tile_end)
+        rr = order[np.asarray(br.ranks)]       # gaussian index per pair
+        rd = np.asarray(bd.ranks)
+        for t in range(br.tiles_x * br.tiles_y):
+            assert (set(rr[start[t]:end[t]].tolist())
+                    == set(rd[start[t]:end[t]].tolist())), f"tile {t}"
+
+    def test_within_tile_depth_order(self, small_random_scene):
+        """Depth-mode front-to-back contract: within every tile's range,
+        the pairs' QUANTIZED depths are nondecreasing — i.e. true view
+        depths never decrease by more than one quantization step."""
+        cam = Camera.create(h=64, w=64, position=(0.0, 0.0, 4.0))
+        config = _cfg(binning_key="depth")
+        proj = project_gaussians(small_random_scene, cam, config)
+        bins = build_tile_bins(proj, 64, 64, config)
+        idx = np.asarray(bins.ranks)
+        start = np.asarray(bins.tile_start)
+        end = np.asarray(bins.tile_end)
+        visible = np.asarray(proj.visible)
+        depth = np.asarray(proj.depth)
+        num_tiles = bins.tiles_x * bins.tiles_y
+        depth_bits = max(1, min(24, 32 - max(int(num_tiles).bit_length(),
+                                             1)))
+        dvis = depth[visible]
+        step = (dvis.max() - dvis.min()) / ((1 << depth_bits) - 1)
+        checked = 0
+        for t in range(num_tiles):
+            ii = idx[start[t]:end[t]]
+            assert np.all((ii >= 0) & (ii < visible.size))
+            assert visible[ii].all()
+            d = depth[ii]
+            # nondecreasing up to one quantization bucket
+            assert np.all(np.diff(d) >= -step * (1 + 1e-3)), f"tile {t}"
+            checked += ii.size
+        assert checked == int(bins.num_pairs)
+        assert (end - start).max() >= 8
+
+    @pytest.mark.parametrize("extra", [{}, {"cull_pairs": True},
+                                       {"expand_impl": "xla"}])
+    def test_matches_oracle(self, small_random_scene, extra):
+        cam = Camera.create(h=96, w=160, position=(0.0, 0.0, 4.0))
+        config = _cfg(binning_key="depth", **extra)
+        img = np.asarray(render_tiled(small_random_scene, cam, config,
+                                      interpret=True))
+        want = render_oracle(small_random_scene, cam, config)
+        p = psnr(img, want)
+        assert p >= 45.0, f"depth-key parity {p:.2f} dB {extra}"
+
+    def test_overflow_reported(self):
+        scene = random_scene(4096, seed=4, extent=0.5,
+                             scale_range=(0.3, 0.8))
+        cam = Camera.create(h=128, w=128, position=(0.0, 0.0, 2.0))
+        config = _cfg(binning_key="depth", max_dup_factor=1.0)
+        proj = project_gaussians(scene, cam, config)
+        bins = build_tile_bins(proj, 128, 128, config)
+        assert int(bins.overflow) > 0
