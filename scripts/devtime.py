@@ -162,15 +162,17 @@ def main():
                 # RGBA output: 4-channel kernel write + untile
                 check("alpha_channel",
                       RenderConfig(alpha_channel=True)),
-                # depth-key binning: (tile ‖ quantized depth) keys with
-                # the gaussian index as sort payload — exercises the
-                # depth-byte table packing in the compiled expansion
-                # kernel plus the original-order feature gather
-                check("depth_key", RenderConfig(binning_key="depth")),
-                check("depth_key+cull",
-                      RenderConfig(binning_key="depth", cull_pairs=True)),
-                check("depth_key+xla",
-                      RenderConfig(binning_key="depth",
+                # rank-key binning (non-default since round 3): packed
+                # (tile ‖ depth rank) single-array keys, exact
+                # tie-breaking — exercises the N-side argsort + 8-row
+                # depth-order gather path in the compiled kernel, plus
+                # its cull and XLA-expansion combinations (the default
+                # rows above all run the depth-key path now)
+                check("rank_key", RenderConfig(binning_key="rank")),
+                check("rank_key+cull",
+                      RenderConfig(binning_key="rank", cull_pairs=True)),
+                check("rank_key+xla",
+                      RenderConfig(binning_key="rank",
                                    expand_impl="xla")),
             ]
         if min(ps) < 45.0:

@@ -88,22 +88,24 @@ class RenderConfig:
     # the fallback (profiling / very large tile grids).
     expand_impl: str = "auto"
     # Low bits of the packed per-pair sort key (binning.py step 3/4):
-    #   "depth": (tile ‖ quantized depth), with the gaussian index riding
-    #     the sort as ONE int32 payload operand.  Skips the whole N-side
-    #     depth machinery (the argsort AND the 8-row gather into depth
-    #     order — each TPU gather index costs ~4-5 ns regardless of
-    #     width), for +~1.5 ms of payload movement through the sort.
-    #     Front-to-back order
-    #     within a tile is exact up to the quantization: depth ties at
-    #     min(24, 32 - tile_bits) >= ~18 bits per frame-depth-range
-    #     composite in arbitrary order (the reference CPU sort breaks
-    #     such ties by original index; visually nil).  The key always
-    #     fits 32 bits, so huge tile grids (4K at tile 32) stay on the
-    #     fast Pallas expansion path.
+    #   "depth" (default): (tile ‖ quantized depth), with the gaussian
+    #     index riding the sort as ONE int32 payload operand.  Skips the
+    #     whole N-side depth machinery (the argsort AND the 8-row gather
+    #     into depth order — each TPU gather index costs ~4-5 ns
+    #     regardless of width), for +~1.5 ms of payload movement through
+    #     the sort.  Measured on v5e at 1M@1080p: 39.6 -> 32.4 ms
+    #     (random, dup 2.05) and 38.9 -> 32.0 ms (surface, dup 1.45).
+    #     Front-to-back order within a tile is exact up to the
+    #     quantization: depth ties at min(24, 32 - tile_bits) >= ~18
+    #     bits per frame-depth-range composite in arbitrary order (the
+    #     reference CPU sort breaks such ties by original index;
+    #     visually nil — on-chip sweep parity is within 0.1 dB of rank
+    #     mode).  The key always fits 32 bits, so huge tile grids (4K at
+    #     tile 32) stay on the fast Pallas expansion path.
     #   "rank": (tile ‖ depth rank) single-array key — exact tie-breaking
     #     (matches the reference's stable CPU sort bit-for-bit), at the
     #     cost of the N-side argsort + depth-order gather.
-    binning_key: str = "rank"
+    binning_key: str = "depth"
     background: tuple[float, float, float] = (0.0, 0.0, 0.0)
     # Per-pixel-group saturation exit in the raster kernel: pixels of a
     # HEAVY tile (pair range > subtile_heavy_pairs) are partitioned into

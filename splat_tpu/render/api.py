@@ -49,15 +49,21 @@ def render_fn(method: str = "auto", config: RenderConfig | None = None):
 def pair_stats(scene, camera: Camera, config: RenderConfig | None = None):
     """Measure the scene's true (gaussian, tile) pair load at a pose.
 
-    Returns a dict with ``visible``, ``num_pairs``, ``pairs_per_gaussian``
-    and ``suggested_dup_factor`` (true load + 25% headroom, floored at
-    1.25) — feed the suggestion into ``RenderConfig.max_dup_factor`` to
-    shrink every K-sized binning op; the overflow stats on the public
-    paths will catch a pose that outgrows it.
+    Returns a dict with ``visible``, ``num_pairs``, ``pairs_per_gaussian``,
+    ``slots`` and ``suggested_dup_factor`` (true slot load + 25% headroom,
+    floored at 1.25) — feed the suggestion into
+    ``RenderConfig.max_dup_factor`` to shrink every K-sized binning op;
+    the overflow stats on the public paths will catch a pose that
+    outgrows it.
 
     The count comes from the binning stage's own span machinery
     (binning.count_pairs — same ceil-quantized radii), so the suggestion
     can never under-provision relative to what binning actually produces.
+    ``slots`` is the capacity-relevant demand: with the default
+    ``binning_key="depth"`` every invisible gaussian additionally spends
+    ONE sentinel slot (the strict-monotonicity guarantee the Pallas
+    expansion kernel needs — binning.py step 1), so slots = pairs +
+    (n - visible); in rank mode slots = pairs.
     """
     from splat_tpu.ops.projection import project_gaussians
     from splat_tpu.render.binning import count_pairs
@@ -71,12 +77,15 @@ def pair_stats(scene, camera: Camera, config: RenderConfig | None = None):
 
     visible, pairs = (int(x) for x in jax.device_get(f(scene, camera)))
     n = scene.num_gaussians
+    slots = pairs + (n - visible if config.binning_key == "depth" else 0)
     per = pairs / max(n, 1)
     return {
         "visible": visible,
         "num_pairs": pairs,
         "pairs_per_gaussian": per,
-        "suggested_dup_factor": max(1.25, round(per * 1.25, 2)),
+        "slots": slots,
+        "suggested_dup_factor": max(1.25, round(slots / max(n, 1) * 1.25,
+                                                2)),
     }
 
 

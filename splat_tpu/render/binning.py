@@ -5,7 +5,7 @@ never built (reference notes.md:19-42: DuplicateWithKeys, radix sort,
 per-tile ranges), reformulated for XLA's static shapes:
 
 1. establish front-to-back order.  Two modes (config.binning_key):
-   "depth": NO global reorder — the pair sort key's low bits
+   "depth" (the default): NO global reorder — the pair sort key's low bits
    are the gaussian's quantized view depth (min(24, 32 - tile_bits)
    bits over the frame's visible depth range) and its index rides the
    pair sort as one int32 payload.  "rank": one argsort of N depth
@@ -49,7 +49,13 @@ Capacity: K_cap = max_dup_factor * N slots.  If a frame produces more pairs,
 the overflow count is returned and surfaced by the non-jit wrapper (in
 rank mode the dropped pairs are the *deepest* ones — graceful
 degradation; in depth mode they are the highest-index gaussians of the
-scene's storage order — either way overflow is never silent).
+scene's storage order — either way overflow is never silent).  Depth
+mode additionally spends ONE sentinel slot per invisible gaussian (the
+strict first_slot monotonicity the Pallas expansion kernel's owner
+window requires — see step 1 in build_tile_bins); num_pairs and
+overflow count REAL pairs exactly in both modes (conservation:
+num_pairs + overflow == true pair count), and pair_stats' suggested
+capacity covers pairs + invisible.
 """
 
 from __future__ import annotations
@@ -304,7 +310,10 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     # fits in 31 bits (sign clear), ONE expansion word carries geometry and
     # first_slot together; otherwise first_slot gets its own row.
     bits_x = max(int(ntx - 1).bit_length(), 1)
-    bits_y = max(int(nty - 1).bit_length(), 1)
+    # depth mode: invisible gaussians carry the sentinel span ty0 = nty
+    # (one fake slot at tile id num_tiles — see below), so the packed
+    # geometry word needs one more y value than the real tile rows
+    bits_y = max(int(nty if depth_mode else nty - 1).bit_length(), 1)
     bits_w = max(int(ntx).bit_length(), 1)
     bits_r = max(int(num_tiles).bit_length(), 1)
     packed_first = (1 + bits_x + bits_y + bits_w + bits_r) <= 32
@@ -340,6 +349,29 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     cy_d = _bits_f32(feats_d[1])
     tx0_d, ty0_d, sw_d, counts = tile_spans(cx_d, cy_d, feats_d[7],
                                             tpx, tpy, ntx, nty)
+    vis_d = None
+    if depth_mode:
+        # CORRECTNESS, not an optimization: the Pallas expansion kernel
+        # recovers each slot's owner inside a CWIN-column window whose
+        # bound (<= B+1 owner columns + 128 alignment slack) requires
+        # first_slot to be STRICTLY increasing.  Rank mode gets that for
+        # free (depth-sorted input pushes invisible gaussians — depth
+        # inf — to the tail), but depth mode keeps scene order, so
+        # zero-count invisible gaussians interleave with visible ones
+        # and stretch a block's owner span past the window (observed:
+        # a slab re-gate leaving 25% visible corrupted whole tiles —
+        # all-zero one-hot rows emit bogus tile-0 keys).  Giving every
+        # invisible gaussian ONE fake slot aimed at the sentinel tile
+        # (ty0 = nty, sw = 1 -> tile id = num_tiles exactly) restores
+        # strict monotonicity in ANY order; fake keys sort past the last
+        # tile edge and are never walked.  The accounting below removes
+        # fakes from num_pairs and overflow exactly, so the public
+        # contracts (real pairs walked, real pairs dropped) are
+        # unchanged; the only real cost is capacity: depth-mode slot
+        # demand is pairs + invisible (pair_stats mirrors this).
+        _, _, vis_d = decode_radius_bits(feats_d[7])
+        counts = jnp.where(vis_d, counts, 1)
+        ty0_d = jnp.where(vis_d, ty0_d, nty)
 
     cum = jnp.cumsum(counts)
     total = cum[-1]
@@ -368,6 +400,19 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
         and packed_key and k_cap < _expand.MAX_KCAP
         and max(ntx, nty) <= _expand.MAX_TILE_COORD)
     num_pairs = jnp.minimum(total, jnp.int32(k_cap))
+    if depth_mode:
+        # Exact fake-slot accounting: an invisible gaussian's single fake
+        # slot is first_slot[g], so fakes dropped by capacity are exactly
+        # those with first_slot >= k_cap.  overflow = REAL pairs dropped;
+        # num_pairs = REAL pairs within capacity (the kernel never walks
+        # sentinel-tile fakes).  Conservation: num_pairs + overflow ==
+        # true pair count, in every mode.
+        invis = jnp.logical_not(vis_d)
+        fake_dropped = jnp.sum(
+            (invis & (first_slot >= k_cap)).astype(jnp.int32))
+        n_invis = jnp.sum(invis.astype(jnp.int32))
+        overflow = overflow - fake_dropped
+        num_pairs = num_pairs - (n_invis - fake_dropped)
     key = None
 
     if use_pallas_expand:
@@ -497,8 +542,10 @@ def build_tile_bins(proj: ProjectedGaussians, h: int, w: int,
     tile_id = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
     if debug_stage == "tiles":
         return jnp.sum(tile_id)
-    # pairs the kernel will actually walk (post-cull)
-    num_pairs = jnp.sum(valid.astype(jnp.int32))
+    # pairs the kernel will actually walk (post-cull, and never the
+    # depth-mode sentinel-tile fake slots — their computed tile id is
+    # num_tiles by construction)
+    num_pairs = jnp.sum((tile_id != num_tiles).astype(jnp.int32))
     pair = None
     payload = None
     if depth_mode:

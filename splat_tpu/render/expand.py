@@ -53,9 +53,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Output slots per inner block; owner window per block.  A B-slot block's
 # owners are CWIN = 128 + B consecutive table columns: the 128-alignment
-# slack (<=127) plus the <= B+1 owners a block can have (first_slot is
-# strictly increasing over visible gaussians; invisible ones sort to the
-# tail), so rel owner indices lie in [0, CWIN - 1].  The DMA window is one
+# slack (<=127) plus the <= B+1 owners a block can have.  This REQUIRES
+# first_slot to be strictly increasing over every column before the
+# padding tail — zero-count columns interleaved with owners would
+# stretch a block's owner span past the window and silently zero its
+# one-hot rows.  Rank mode guarantees it by depth-sorting (invisible
+# gaussians sort to the tail); depth mode (scene order) guarantees it by
+# giving every invisible gaussian one sentinel-tile fake slot
+# (build_tile_bins step 1).  Rel owner indices then lie in [0, CWIN-1].  The DMA window is one
 # 128-lane grain wider (WINDOW = CWIN + 128): the one-hot construction
 # needs fs[j + 1] for the last owner column, and lane sizes must stay
 # 128-aligned anyway.  Compares and the one-hot matmul contract over CWIN

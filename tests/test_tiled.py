@@ -70,9 +70,12 @@ class TestBinning:
         design (the packed (tile ‖ rank) key makes the unstable tile sort
         depth-ordered inside each tile); any ordering bug — e.g. dropping
         the rank bits from the key — must fail this test.  Rank order is
-        verified against the actual view depths, not just monotonicity."""
+        verified against the actual view depths, not just monotonicity.
+        (Pinned to binning_key='rank': the depth-key default's equivalent
+        contract — nondecreasing quantized depth within every tile — is
+        TestDepthKeyBinning.test_within_tile_depth_order.)"""
         cam = Camera.create(h=64, w=64, position=(0.0, 0.0, 4.0))
-        config = _cfg()
+        config = _cfg(binning_key="rank")
         proj = project_gaussians(small_random_scene, cam, config)
         bins = build_tile_bins(proj, 64, 64, config)
         ranks = np.asarray(bins.ranks)
@@ -460,3 +463,86 @@ class TestDepthKeyBinning:
         proj = project_gaussians(scene, cam, config)
         bins = build_tile_bins(proj, 128, 128, config)
         assert int(bins.overflow) > 0
+
+    @pytest.mark.parametrize("impl", ["auto", "xla"])
+    def test_interleaved_invisibility_pair_sets(self, impl):
+        """Regression: depth mode keeps SCENE order, so invisible
+        (zero-count) gaussians interleave with visible ones — long
+        zero-count runs used to stretch a block's owner span past the
+        Pallas expansion kernel's CWIN window, silently zeroing one-hot
+        rows (bogus tile-0 pairs + missing pairs; surfaced by the
+        sharded slab re-gate, which leaves ~25% visible).  Invisible
+        gaussians now spend one sentinel-tile fake slot to keep
+        first_slot strictly increasing.  This test re-gates visibility
+        to a narrow row slab (the adversarial pattern) and requires
+        depth mode's pair sets, counts, and ranges to match rank mode's
+        exactly, under both expansion implementations."""
+        import dataclasses as dc
+
+        scene = random_scene(6144, seed=9, extent=2.5,
+                             scale_range=(0.01, 0.05))
+        cam = Camera.create(h=128, w=128, position=(0.0, 0.0, 4.0))
+        proj = project_gaussians(scene, cam, _cfg())
+        # slab re-gate: rows [48, 64) only — most gaussians invisible,
+        # interleaved in scene order
+        center = proj.center_px - jnp.asarray([0.0, 48.0])[None, :]
+        vis = (proj.visible
+               & (center[:, 1] + proj.radius_px[:, 1] > 0)
+               & (center[:, 1] - proj.radius_px[:, 1] < 16))
+        proj2 = dc.replace(proj, center_px=center, visible=vis)
+        frac = float(np.asarray(vis).mean())
+        assert frac < 0.5, f"fixture not adversarial enough ({frac:.2f})"
+        br = build_tile_bins(proj2, 16, 128, _cfg(binning_key="rank",
+                                                  expand_impl=impl))
+        bd = build_tile_bins(proj2, 16, 128, _cfg(binning_key="depth",
+                                                  expand_impl=impl))
+        np.testing.assert_array_equal(np.asarray(br.tile_start),
+                                      np.asarray(bd.tile_start))
+        np.testing.assert_array_equal(np.asarray(br.tile_end),
+                                      np.asarray(bd.tile_end))
+        assert int(br.num_pairs) == int(bd.num_pairs)
+        assert int(bd.overflow) == 0
+        order = np.argsort(np.where(np.asarray(vis),
+                                    np.asarray(proj2.depth), np.inf),
+                           kind="stable")
+        rr = order[np.asarray(br.ranks)]
+        rd = np.asarray(bd.ranks)
+        start, end = np.asarray(br.tile_start), np.asarray(br.tile_end)
+        for t in range(br.tiles_x * br.tiles_y):
+            assert (set(rr[start[t]:end[t]].tolist())
+                    == set(rd[start[t]:end[t]].tolist())), f"tile {t}"
+
+    def test_fake_slot_accounting_conservation(self):
+        """Depth-mode fake slots must be invisible to the public
+        contracts: num_pairs + overflow == the true pair count at every
+        capacity, and an all-invisible frame reports zero overflow even
+        when capacity < N (only fakes are dropped)."""
+        import dataclasses as dc
+
+        scene = random_scene(8192, seed=3, extent=2.0,
+                             scale_range=(0.02, 0.12))
+        cam = Camera.create(h=64, w=64, position=(0.0, 0.0, 4.0))
+        proj = project_gaussians(scene, cam, _cfg())
+        # keep ~half visible, interleaved
+        keep = jnp.asarray(np.arange(8192) % 2 == 0)
+        proj2 = dc.replace(proj, visible=proj.visible & keep)
+        ref = build_tile_bins(proj2, 64, 64, _cfg(binning_key="rank",
+                                                  max_dup_factor=64.0))
+        true_pairs = int(ref.num_pairs)
+        assert true_pairs > 0
+        saw_overflow = False
+        for dup in (0.5, 1.0, 2.0, 64.0):
+            bins = build_tile_bins(proj2, 64, 64,
+                                   _cfg(binning_key="depth",
+                                        max_dup_factor=dup))
+            assert (int(bins.num_pairs) + int(bins.overflow)
+                    == true_pairs), f"dup={dup}"
+            saw_overflow |= int(bins.overflow) > 0
+        assert saw_overflow  # the small capacities must actually bind
+        # all-invisible: fakes fill slots but never count as overflow
+        proj3 = dc.replace(proj, visible=jnp.zeros((8192,), jnp.bool_))
+        bins = build_tile_bins(proj3, 64, 64,
+                               _cfg(binning_key="depth",
+                                    max_dup_factor=0.5))
+        assert int(bins.num_pairs) == 0
+        assert int(bins.overflow) == 0
