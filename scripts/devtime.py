@@ -104,7 +104,8 @@ def main():
             # the exact regression it was added to catch.
             key = (n, h, w, config.sigma_cutoff, config.alpha_clamp,
                    config.alpha_min, config.sh_degree, config.lowpass,
-                   tuple(config.background), config.alpha_channel)
+                   tuple(config.background), config.alpha_channel,
+                   config.render_mode, config.depth_range)
             if (n, h, w) not in scenes:
                 scenes[(n, h, w)] = st.surface_scene(n, seed=11)
             scene = scenes[(n, h, w)]
@@ -174,6 +175,13 @@ def main():
                 check("rank_key+xla",
                       RenderConfig(binning_key="rank",
                                    expand_impl="xla")),
+                # depth-map rendering: normalized depth rides the u16
+                # color rows; explicit range (stable vs the oracle's
+                # auto-range pre-pass) + coverage channel for mean depth
+                check("depth_mode",
+                      RenderConfig(render_mode="depth",
+                                   depth_range=(1.0, 7.0),
+                                   alpha_channel=True)),
             ]
         if min(ps) < 45.0:
             raise SystemExit(1)

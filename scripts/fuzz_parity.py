@@ -86,7 +86,15 @@ def main():
         # inf = truncation-free mode (kernel skips its bbox compares);
         # it requires tight_radius, which is otherwise drawn freely
         sigma_cutoff = float(rng.choice([3.0, 3.0, 3.0, float("inf")]))
+        render_mode = str(rng.choice(["color", "color", "color", "depth"]))
+        depth_range = None
+        if render_mode == "depth" and (args.sharded or rng.random() < 0.5):
+            # sharded depth mode REQUIRES an explicit range (auto would be
+            # per-shard); single-chip draws it half the time
+            lo = float(rng.uniform(0.5, 3.0))
+            depth_range = (lo, lo + float(rng.uniform(1.0, 6.0)))
         config = RenderConfig(
+            render_mode=render_mode, depth_range=depth_range,
             tile_px=tile, tile_py=tile_y,
             chunk=int(rng.choice([64, 128])),
             # 0.9999999 exercises the kernel's alpha_clamp~1 log1p guard

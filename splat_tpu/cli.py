@@ -46,6 +46,16 @@ def _add_render_flags(p: argparse.ArgumentParser) -> None:
                    help="output RGBA: the alpha channel is the accumulated "
                         "per-pixel coverage 1 - T (PNGs are written as "
                         "color-type-6 RGBA)")
+    p.add_argument("--render-mode", choices=["color", "depth"],
+                   default="color",
+                   help="what the composited channels carry: 'color' "
+                        "(SH RGB) or 'depth' (alpha-weighted expected "
+                        "view depth as a grayscale map; pair with "
+                        "--alpha to recover mean depth)")
+    p.add_argument("--depth-range", default=None, metavar="NEAR,FAR",
+                   help="view-depth range mapped to [0,1] in depth mode "
+                        "(default: each frame's visible min/max — pin an "
+                        "explicit range for stable orbits)")
     p.add_argument("--sigma-cutoff", default="3.0",
                    help="bbox radius in standard deviations (reference: "
                         "3-sigma quads); 'inf' = truncation-free mode "
@@ -104,6 +114,9 @@ def _config(args, scene=None, cam=None):
     sigma = float(getattr(args, "sigma_cutoff", "3.0"))  # 'inf' parses
     bkey = (getattr(args, "binning_key", None)
             or RenderConfig.binning_key)
+    mode = getattr(args, "render_mode", "color")
+    drange = getattr(args, "depth_range", None)
+    drange = _parse_vec(drange, 2) if drange else None
     dup = getattr(args, "dup_factor", "4")
     if dup == "auto":
         if scene is None or cam is None:
@@ -123,6 +136,7 @@ def _config(args, scene=None, cam=None):
                         max_dup_factor=float(dup), sigma_cutoff=sigma,
                         alpha_channel=getattr(args, "alpha", False),
                         binning_key=bkey,
+                        render_mode=mode, depth_range=drange,
                         background=_parse_vec(args.background, 3))
 
 

@@ -152,6 +152,21 @@ class RenderConfig:
     # correct semantics.  RGB channels are unchanged (still blended over
     # config.background).
     alpha_channel: bool = False
+    # What the composited channels CARRY.  "color" (default): SH-evaluated
+    # RGB.  "depth": every channel is the splat's normalized view depth, so
+    # the composite is the alpha-weighted expected depth sum(alpha_i T_i
+    # d_i) — a grayscale depth map (near = dark, far = bright).  Pair with
+    # alpha_channel=True and divide by the coverage channel for mean depth
+    # on partially-covered pixels.  Binning, the Pallas kernel, and the
+    # sharded paths are untouched — only the per-gaussian color rows change
+    # (ops/projection.encode_depth_color).  The reference has no depth
+    # output; this is the 3DGS ecosystem's "expected depth" mode.
+    render_mode: str = "color"
+    # (near, far) view-depth range mapped to [0, 1] in depth mode.  None =
+    # auto: the frame's visible depth min/max (per frame — an orbit's
+    # mapping can shift between frames; pin an explicit range for stable
+    # animations and metric use).  Ignored in color mode.
+    depth_range: tuple[float, float] | None = None
     # Radius of the splat bounding box in standard deviations.  The reference
     # uses 3-sigma quads (src/pipelines.rs:27).  ``math.inf`` selects
     # truncation-free rendering: with tight_radius (required), every bbox
@@ -182,6 +197,14 @@ class RenderConfig:
         if self.binning_key not in ("rank", "depth"):
             raise ValueError(f"binning_key must be 'rank' or 'depth', "
                              f"got {self.binning_key!r}")
+        if self.render_mode not in ("color", "depth"):
+            raise ValueError(f"render_mode must be 'color' or 'depth', "
+                             f"got {self.render_mode!r}")
+        if self.depth_range is not None:
+            lo, hi = self.depth_range
+            if not (math.isfinite(lo) and math.isfinite(hi) and lo < hi):
+                raise ValueError(f"depth_range must be finite (near, far) "
+                                 f"with near < far, got {self.depth_range}")
         if not math.isfinite(self.sigma_cutoff) and not self.tight_radius:
             raise ValueError(
                 "sigma_cutoff=inf requires tight_radius=True: without the "

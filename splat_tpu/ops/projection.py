@@ -145,6 +145,37 @@ def _scene_cols(scene):
             jnp.asarray(scene.opacities), shs)
 
 
+def encode_depth_color(depth, visible, config: RenderConfig):
+    """Normalized view depth to ride the per-gaussian color rows.
+
+    ``render_mode="depth"`` replaces every splat's RGB with its normalized
+    view depth, so the unchanged compositing machinery produces the
+    alpha-weighted expected depth sum(alpha_i T_i d_i) — the 3DGS
+    ecosystem's "expected depth" map (the reference has no depth output).
+    Mapping: explicit ``config.depth_range`` (near, far) -> [0, 1], or
+    auto = this frame's visible depth min/max.  The result is clipped to
+    [0, 1], which both the u16 feature quantization (binning.py) and the
+    final image clip require anyway.
+
+    The auto range is a PER-CALL reduction over ``visible``: under
+    shard_map it would be per-shard and chips would disagree, so the
+    sharded renderers (parallel/sharding.py) demand an explicit range in
+    depth mode.
+    """
+    if config.depth_range is not None:
+        lo = jnp.float32(config.depth_range[0])
+        hi = jnp.float32(config.depth_range[1])
+    else:
+        lo = jnp.min(jnp.where(visible, depth, jnp.inf))
+        hi = jnp.max(jnp.where(visible, depth, -jnp.inf))
+        # empty frame / single depth plane: any constant in [0, 1] works,
+        # but the division must stay finite
+        ok = jnp.isfinite(lo) & (hi > lo)
+        lo = jnp.where(ok, lo, 0.0)
+        hi = jnp.where(ok, hi, lo + 1.0)
+    return jnp.clip((depth - lo) / (hi - lo), 0.0, 1.0)
+
+
 def project_gaussians(scene, camera: Camera,
                       config: RenderConfig) -> ProjectedGaussians:
     """All per-gaussian screen-space quantities for one frame, vectorized.
@@ -248,6 +279,10 @@ def project_gaussians(scene, camera: Camera,
                # peak α = min(clamp, opacity·e⁰) — below alpha_min the splat
                # can never pass the kernel's cutoff at any pixel (lossless)
                & (opacity >= config.alpha_min))
+
+    if config.render_mode == "depth":
+        dn = encode_depth_color(depth, visible, config)
+        col_r = col_g = col_b = dn
 
     return ProjectedGaussians(depth=depth,
                               center_px=jnp.stack([cx, cy], axis=-1),

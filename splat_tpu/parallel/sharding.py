@@ -49,6 +49,18 @@ def make_mesh(n_data: int = 1, n_gaussian: int | None = None,
     return Mesh(arr, axis_names=("d", "g"))
 
 
+def _check_sharded_config(config: RenderConfig) -> None:
+    """Depth mode's AUTO range is a per-call reduction over the visible
+    splats (ops/projection.encode_depth_color); under shard_map each chip
+    would normalize by its own shard's depth min/max and the slabs would
+    disagree.  Sharded renders therefore require an explicit range."""
+    if config.render_mode == "depth" and config.depth_range is None:
+        raise ValueError(
+            "sharded rendering with render_mode='depth' requires an "
+            "explicit RenderConfig.depth_range: the auto range would be "
+            "computed per gaussian shard and chips would disagree")
+
+
 def _composite_rows(proj: ProjectedGaussians, row0, h_local: int, w: int,
                     config: RenderConfig, chunk: int) -> jax.Array:
     """Front-to-back composite of already-sorted projected gaussians over a
@@ -113,6 +125,7 @@ def render_sharded(scene, camera: Camera, mesh: Mesh,
     (replicated).  H must be divisible by the 'g' axis size.
     """
     config = config or RenderConfig()
+    _check_sharded_config(config)
     h, w = camera.h, camera.w
     if scene.num_gaussians == 0:  # empty shards break all_gather
         # the dense sharded compositor is RGB-only; stay consistent
@@ -160,6 +173,7 @@ def render_batch_sharded(scene, cameras: Camera, mesh: Mesh,
     divisible by the 'd' axis size.  Returns (F, H, W, 3).
     """
     config = config or RenderConfig()
+    _check_sharded_config(config)
     if scene.num_gaussians == 0:  # empty shards break all_gather
         f = jnp.asarray(cameras.position).shape[0]
         bg = _empty_frame(cameras.h, cameras.w, config)[..., :3]
@@ -267,6 +281,7 @@ def render_sharded_tiled(scene, camera: Camera, mesh: Mesh,
     :func:`render_sharded_tiled_checked`.
     """
     config = config or RenderConfig()
+    _check_sharded_config(config)
     h, w = camera.h, camera.w
     if scene.num_gaussians == 0:  # static: binning has no N=0 shape
         return _empty_frame(h, w, config), jnp.int32(0)
@@ -316,6 +331,7 @@ def render_batch_sharded_tiled(scene, cameras: Camera, mesh: Mesh,
     once and iterated).  Returns ((F, H, W, 3) images, total overflow).
     """
     config = config or RenderConfig()
+    _check_sharded_config(config)
     h, w = cameras.h, cameras.w
     n_g = mesh.shape["g"]
     if scene.num_gaussians == 0:  # static: binning has no N=0 shape

@@ -95,6 +95,53 @@ def _np_eval_sh(sh, d, degree):
     return color + 0.5
 
 
+def _auto_depth_range(d, view, proj, focal, h, w, znear, config):
+    """Visible depth min/max with the PROJECTION's visibility rule.
+
+    Depth mode's auto range normalizes by the frame's visible depth
+    min/max as ops/projection.encode_depth_color defines "visible":
+    depth > znear, positive-definite cov2d, opacity >= alpha_min, and the
+    (tight_radius-aware) bbox intersecting the screen.  The oracle's own
+    paint loop uses the plain sigma_cutoff quad (a superset — pixels
+    outside the tight radius fail alpha_min anyway), so the range must be
+    computed with the projection rule, not the paint rule.
+    """
+    lo, hi = np.inf, -np.inf
+    for i in range(d["means"].shape[0]):
+        pos_cam = view[:3, :3] @ d["means"][i] + view[:3, 3]
+        depth = -pos_cam[2]
+        if depth <= znear or d["opacities"][i] < config.alpha_min:
+            continue
+        rot = _np_quat_to_rot(d["quats"][i])
+        cov3d = rot @ np.diag(d["scales"][i] ** 2) @ rot.T
+        w2 = view[:3, :3].T[:, :2]
+        cov2d = ((focal / pos_cam[2]) ** 2 * (w2.T @ cov3d @ w2)
+                 + config.lowpass * np.eye(2))
+        det = cov2d[0, 0] * cov2d[1, 1] - cov2d[0, 1] ** 2
+        if det <= 0:
+            continue
+        cut2 = config.sigma_cutoff ** 2
+        if config.tight_radius:
+            qmax = 2.0 * np.log(max(d["opacities"][i] / config.alpha_min,
+                                    1e-12))
+            cut2 = min(cut2, max(qmax, 0.0))
+        rx = np.sqrt(cut2 * max(cov2d[0, 0], 0.0))
+        ry = np.sqrt(cut2 * max(cov2d[1, 1], 0.0))
+        clip = proj @ np.append(pos_cam, 1.0)
+        ndc = clip[:2] / clip[3]
+        cx = (ndc[0] + 1) * w / 2
+        cy = (1 - ndc[1]) * h / 2
+        if not (np.isfinite(cx) and np.isfinite(cy)):
+            continue
+        if cx + rx <= 0 or cx - rx >= w or cy + ry <= 0 or cy - ry >= h:
+            continue
+        lo = min(lo, depth)
+        hi = max(hi, depth)
+    if not np.isfinite(lo):
+        return 0.0, 1.0
+    return (lo, hi) if hi > lo else (lo, lo + 1.0)
+
+
 def render_oracle(scene, camera, config: RenderConfig | None = None):
     """Render with plain NumPy.  Returns float32 (H, W, 3) in [0, 1]."""
     import jax  # local import; only used to pull arrays to host
@@ -121,6 +168,15 @@ def render_oracle(scene, camera, config: RenderConfig | None = None):
     # farthest first), reference src/gaussians.rs:297-306.
     z_cam = (d["means"] @ view[:3, :3].T + view[:3, 3])[:, 2]
     order = np.argsort(z_cam, kind="stable")
+
+    depth_lo = depth_hi = None
+    if config.render_mode == "depth":
+        if config.depth_range is not None:
+            depth_lo, depth_hi = (float(config.depth_range[0]),
+                                  float(config.depth_range[1]))
+        else:
+            depth_lo, depth_hi = _auto_depth_range(
+                d, view, proj, focal, h, w, znear, config)
 
     img = np.broadcast_to(
         np.asarray(config.background, np.float64), (h, w, 3)).copy()
@@ -166,6 +222,10 @@ def render_oracle(scene, camera, config: RenderConfig | None = None):
         raydir = mean - eye
         raydir = raydir / np.linalg.norm(raydir)
         color = _np_eval_sh(d["sh"][i], raydir, config.sh_degree)
+        if config.render_mode == "depth":
+            dn = np.clip((depth - depth_lo) / (depth_hi - depth_lo),
+                         0.0, 1.0)
+            color = np.full((3,), dn)
 
         xs = np.arange(x1, x2, dtype=np.float64)
         ys = np.arange(y1, y2, dtype=np.float64)

@@ -53,6 +53,22 @@ def test_render_alpha_rgba_png(scene_ply, tmp_path):
     assert img[..., 3].max() > 0  # something covered
 
 
+def test_render_depth_mode(scene_ply, tmp_path):
+    """--render-mode depth writes a grayscale expected-depth map; an
+    explicit --depth-range parses into RenderConfig.depth_range."""
+    out = str(tmp_path / "depth.png")
+    rc = main(["render", scene_ply, "--size", "64x64", "--pos", "0,0,4",
+               "--render-mode", "depth", "--depth-range", "1,7",
+               "--out", out])
+    assert rc == 0
+    img = read_png(out)
+    assert img.shape == (64, 64, 3)
+    # grayscale: channels equal to within one u8 step (the accumulation
+    # einsum may land channels in different lanes — 1-ULP f32 drift)
+    assert np.abs(img[..., 0].astype(int) - img[..., 1].astype(int)).max() <= 1
+    assert img.max() > 0
+
+
 def test_render_ply(scene_ply, tmp_path):
     out = str(tmp_path / "f.png")
     rc = main(["render", scene_ply, "--size", "64x64", "--pos", "0,0,4",
