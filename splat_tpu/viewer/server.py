@@ -30,12 +30,13 @@ _PAGE = """<!doctype html>
 <img id="view" width="__W__" height="__H__">
 <script>
 let yaw = 0, pitch = 0, dist = 1.0, busy = false, dirty = true, t0 = 0;
+let mode = '__MODE__';
 const hud = document.getElementById('hud');
 const img = document.getElementById('view');
 async function tick() {
   if (dirty && !busy) {
     busy = true; dirty = false; t0 = performance.now();
-    const q = `yaw=${yaw}&pitch=${pitch}&dist=${dist}&t=${Date.now()}`;
+    const q = `yaw=${yaw}&pitch=${pitch}&dist=${dist}&mode=${mode}&t=${Date.now()}`;
     let overflow = 0;
     try {
       const r = await fetch('/frame.png?' + q);
@@ -48,8 +49,8 @@ async function tick() {
     const ms = (performance.now() - t0).toFixed(0);
     hud.textContent =
       `yaw ${(yaw*180/Math.PI).toFixed(1)}°  pitch ${(pitch*180/Math.PI).toFixed(1)}°` +
-      `  dist x${dist.toFixed(2)}  frame ${ms} ms\\n` +
-      `arrows: orbit (±10°)   drag: orbit   wheel: dolly   R: reset` +
+      `  dist x${dist.toFixed(2)}  mode ${mode}  frame ${ms} ms\\n` +
+      `arrows: orbit (±10°)   drag: orbit   wheel: dolly   R: reset   M: color/depth` +
       (overflow > 0 ? `\\nWARNING: ${overflow} pairs dropped — ` +
                       `frame truncated; restart with a larger --dup-factor`
                     : '');
@@ -64,6 +65,9 @@ addEventListener('keydown', e => {
   if (e.key === 'ArrowUp')    { pitch += STEP; dirty = true; }
   if (e.key === 'ArrowDown')  { pitch -= STEP; dirty = true; }
   if (e.key === 'r' || e.key === 'R') { yaw = 0; pitch = 0; dist = 1; dirty = true; }
+  if (e.key === 'm' || e.key === 'M') {
+    mode = (mode === 'depth') ? 'color' : 'depth'; dirty = true;
+  }
 });
 let dragging = false, lx = 0, ly = 0;
 img.addEventListener('mousedown', e => { dragging = true; lx = e.clientX; ly = e.clientY; });
@@ -93,41 +97,56 @@ def serve(scene, camera, config=None, *, host: str = "127.0.0.1",
     for ~3x the bytes — encode latency IS serving latency on localhost;
     raise it for remote viewing over thin links.
     """
+    import dataclasses
+
     import jax
 
+    from splat_tpu.config import RenderConfig
     from splat_tpu.render.api import render_fn, resolve_method
     from splat_tpu.utils.image import encode_png
+
+    config = config or RenderConfig()
 
     # The tiled path renders with stats so duplication-buffer overflow is
     # surfaced in the HUD — the viewer must not be the one public render
     # surface that can truncate silently (config.py contract).
+    # Render functions are built lazily per render mode: the browser's 'M'
+    # key toggles color/depth live (one extra compile on first toggle).
     m = resolve_method(method, scene)
-    if m == "tiled":
-        from splat_tpu.render.tiled import render_tiled
+    fns: dict[str, object] = {}
 
-        f = jax.jit(
-            lambda s, c: render_tiled(s, c, config, return_stats=True))
-    else:
-        f_plain = render_fn(m, config)
-        f = lambda s, c: (f_plain(s, c), None)
+    def get_fn(mode: str):
+        if mode not in fns:
+            cfg = dataclasses.replace(config, render_mode=mode)
+            if m == "tiled":
+                from splat_tpu.render.tiled import render_tiled
+
+                fns[mode] = jax.jit(
+                    lambda s, c: render_tiled(s, c, cfg, return_stats=True))
+            else:
+                f_plain = render_fn(m, cfg)
+                fns[mode] = lambda s, c: (f_plain(s, c), None)
+        return fns[mode]
+
     scene = scene.pack_device()
     lock = threading.Lock()
     base_pos = np.asarray(jax.device_get(camera.position))
     target = np.asarray(jax.device_get(camera.target))
 
-    def render_pose(yaw: float, pitch: float,
-                    dist: float) -> tuple[bytes, int]:
+    def render_pose(yaw: float, pitch: float, dist: float,
+                    mode: str) -> tuple[bytes, int]:
         cam = camera.with_pose(
             yaw=yaw, pitch=pitch,
             position=target + (base_pos - target) * dist)
         with lock:
-            img, stats = f(scene, cam)
+            img, stats = get_fn(mode)(scene, cam)
             overflow = int(stats["overflow"]) if stats is not None else 0
             img = np.asarray(img)
         return encode_png(img, level=png_level), overflow
 
     page = (_PAGE.replace("__W__", str(camera.w))
-            .replace("__H__", str(camera.h)))
+            .replace("__H__", str(camera.h))
+            .replace("__MODE__", config.render_mode))
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -147,10 +166,13 @@ def serve(scene, camera, config=None, *, host: str = "127.0.0.1",
             elif u.path == "/frame.png":
                 q = parse_qs(u.query)
                 get = lambda k, d: float(q.get(k, [d])[0])
+                mode = q.get("mode", [config.render_mode])[0]
+                if mode not in ("color", "depth"):
+                    mode = config.render_mode
                 try:
                     png, overflow = render_pose(
                         get("yaw", 0.0), get("pitch", 0.0),
-                        get("dist", 1.0))
+                        get("dist", 1.0), mode)
                 except Exception as e:  # surface render errors to the client
                     msg = f"render error: {e}".encode()
                     self.send_response(500)

@@ -58,6 +58,19 @@ def test_viewer_serves_page_and_frames(tmp_path):
         img = read_png(str(f))
         assert img.shape == (48, 64, 3)
 
+        # live mode toggle (browser 'M' key -> mode=depth query param)
+        png_d = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/frame.png?yaw=0&pitch=0&dist=1"
+            f"&mode=depth", timeout=120).read()
+        assert png_d[:8] == b"\x89PNG\r\n\x1a\n"
+        assert png_d != png1
+        fd = tmp_path / "d.png"
+        fd.write_bytes(png_d)
+        dimg = read_png(str(fd))
+        # grayscale to within one u8 step (channel-lane f32 drift)
+        assert np.abs(dimg[..., 0].astype(int)
+                      - dimg[..., 1].astype(int)).max() <= 1
+
         code = urllib.request.urlopen(
             f"http://127.0.0.1:{port}/nope", timeout=30).getcode()
     except urllib.error.HTTPError as e:
