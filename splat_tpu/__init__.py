@@ -27,6 +27,7 @@ from splat_tpu.camera import Camera
 from splat_tpu.io.ply import load_ply, save_ply
 from splat_tpu.render.api import pair_stats, render, render_fn
 from splat_tpu.render.dense import render_dense
+from splat_tpu.train import FitResult, RawParams, fit, psnr
 from splat_tpu.utils.fixtures import (naive_gaussians, random_scene,
                                       surface_scene)
 
@@ -43,6 +44,10 @@ __all__ = [
     "render",
     "render_dense",
     "render_fn",
+    "fit",
+    "FitResult",
+    "RawParams",
+    "psnr",
     "naive_gaussians",
     "random_scene",
     "surface_scene",

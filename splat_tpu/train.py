@@ -1,0 +1,189 @@
+"""Differentiable scene fitting (the 3DGS optimization setup).
+
+The reference is feed-forward inference only — no training, autograd, or
+optimizer anywhere (SURVEY §1: "renderer, not trainer").  Differentiability
+is the TPU-native dividend of the functional design: :func:`render_dense`
+is pure JAX, so ``jax.grad`` flows from pixels back to every scene
+parameter.  This module packages that into the standard gaussian-splatting
+optimization loop:
+
+* **Unconstrained raw parameters** — the inverses of the load-time
+  activations the reference applies (exp on scales, sigmoid on opacity,
+  quaternion normalization; reference src/gaussians.rs:265-272,
+  notes/util_gau.py:98-105): we optimize ``log_scales`` and
+  ``logit_opacities`` so plain gradient steps can never leave the valid
+  domain, and leave quaternions unnormalized (the ops normalize on use,
+  ops/transforms.py:21-29) so their gradient lives on the full R^4.
+* **A jitted multi-view update step** — one ``optax`` update over the mean
+  photometric loss across a batch of views (cameras batched on a leading
+  axis, as produced by :func:`splat_tpu.camera.orbit_trajectory`).
+* **fit()** — the batteries-included loop: adam, per-parameter learning-rate
+  scaling (positions want far smaller steps than colors — the standard 3DGS
+  recipe), loss history out.
+
+The dense renderer is the documented differentiable surface (the tiled
+Pallas path has no VJP); fitting is therefore for small-to-medium scenes —
+the building block, not a production trainer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from splat_tpu.camera import Camera
+from splat_tpu.config import RenderConfig
+from splat_tpu.render.dense import render_dense
+from splat_tpu.scene import GaussianScene
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["means", "quats", "log_scales", "logit_opacities",
+                      "sh"],
+         meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class RawParams:
+    """Unconstrained scene parameterization (a pytree of optimizable leaves).
+
+    ``to_scene`` applies exactly the activations the loaders apply to PLY
+    fields (io/ply.py; reference src/gaussians.rs:265-268), so a fitted
+    ``RawParams`` round-trips through :func:`splat_tpu.io.ply.save_ply`
+    like any loaded model.
+    """
+
+    means: jax.Array             # (N, 3) world centers (identity activation)
+    quats: jax.Array             # (N, 4) UNnormalized; ops normalize on use
+    log_scales: jax.Array        # (N, 3) pre-exp
+    logit_opacities: jax.Array   # (N,)   pre-sigmoid
+    sh: jax.Array                # (N, 16, 3)
+
+    @classmethod
+    def from_scene(cls, scene: GaussianScene,
+                   eps: float = 1e-5) -> "RawParams":
+        """Invert the activations. Opacities are clamped into
+        [eps, 1-eps] first so the logit is finite."""
+        op = jnp.clip(jnp.asarray(scene.opacities, jnp.float32),
+                      eps, 1.0 - eps)
+        return cls(
+            means=jnp.asarray(scene.means, jnp.float32),
+            quats=jnp.asarray(scene.quats, jnp.float32),
+            log_scales=jnp.log(jnp.maximum(
+                jnp.asarray(scene.scales, jnp.float32), 1e-12)),
+            logit_opacities=jnp.log(op) - jnp.log1p(-op),
+            sh=jnp.asarray(scene.sh, jnp.float32))
+
+    def to_scene(self) -> GaussianScene:
+        return GaussianScene(
+            means=self.means,
+            quats=self.quats,  # normalized inside quat_to_rotmat
+            scales=jnp.exp(self.log_scales),
+            opacities=jax.nn.sigmoid(self.logit_opacities),
+            sh=self.sh)
+
+
+def psnr(img: jax.Array, ref: jax.Array, peak: float = 1.0) -> jax.Array:
+    """Peak signal-to-noise ratio in dB (the parity metric of the suite)."""
+    mse = jnp.mean((img - ref) ** 2)
+    return 10.0 * jnp.log10(peak * peak / jnp.maximum(mse, 1e-20))
+
+
+def photometric_loss(raw: RawParams, cameras: Camera, targets: jax.Array,
+                     config: RenderConfig, l1_weight: float = 0.2,
+                     chunk: int = 16) -> jax.Array:
+    """Mean L2 + ``l1_weight``·L1 over a batch of views.
+
+    ``cameras`` carries a leading view axis on its traced leaves
+    (``orbit_trajectory`` shape); ``targets`` is (V, H, W, C) matching the
+    renderer's output channel count.  The L1 term is the standard 3DGS
+    robustness ingredient (the full recipe uses L1 + D-SSIM; SSIM is a
+    windowed conv — cheap on TPU but out of scope for the building block).
+    """
+    scene = raw.to_scene()
+
+    def one_view(camera, target):
+        img = render_dense(scene, camera, config, chunk=chunk)
+        err = img - target
+        return jnp.mean(err * err) + l1_weight * jnp.mean(jnp.abs(err))
+
+    losses = jax.vmap(one_view)(cameras, targets)
+    return jnp.mean(losses)
+
+
+# Per-leaf learning-rate scale relative to the base lr: positions and
+# geometry move on the scene's metric scale; colors/opacities are O(1).
+DEFAULT_LR_SCALES = {
+    "means": 0.05,
+    "quats": 0.25,
+    "log_scales": 1.0,
+    "logit_opacities": 2.5,
+    "sh": 1.0,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class FitResult:
+    scene: GaussianScene        # fitted scene (activated)
+    raw: RawParams              # fitted raw parameters
+    losses: jax.Array           # (steps,) loss history
+    final_loss: float
+
+
+def fit(scene: GaussianScene, cameras: Camera, targets,
+        *, steps: int = 200, lr: float = 1e-2,
+        lr_scales: dict | None = None,
+        config: RenderConfig | None = None,
+        l1_weight: float = 0.2, chunk: int = 16,
+        loss_fn: Callable | None = None) -> FitResult:
+    """Fit ``scene`` to ``targets`` rendered from ``cameras``.
+
+    Args:
+      scene: initialization (e.g. a perturbed model, or ``random_scene``).
+      cameras: batched Camera (leading view axis on traced leaves).
+      targets: (V, H, W, C) float32 ground-truth images in [0, 1].
+      steps: optimizer steps; each step sees ALL views (full-batch).
+      lr: base adam learning rate, scaled per-leaf by ``lr_scales``.
+      loss_fn: optional ``loss_fn(raw) -> scalar`` override; default is
+        :func:`photometric_loss` over all views.
+
+    Returns a :class:`FitResult`; ``losses[0]`` is the pre-step loss so
+    ``losses[0] / final_loss`` measures convergence.
+    """
+    import optax
+
+    config = config or RenderConfig()
+    scales = dict(DEFAULT_LR_SCALES)
+    scales.update(lr_scales or {})
+    targets = jnp.asarray(targets, jnp.float32)
+
+    raw = RawParams.from_scene(scene)
+    if loss_fn is None:
+        loss_fn = lambda r: photometric_loss(r, cameras, targets, config,
+                                             l1_weight, chunk)
+
+    label_tree = RawParams(means="means", quats="quats",
+                           log_scales="log_scales",
+                           logit_opacities="logit_opacities", sh="sh")
+    opt = optax.multi_transform(
+        {k: optax.adam(lr * s) for k, s in scales.items()}, label_tree)
+    opt_state = opt.init(raw)
+
+    @jax.jit
+    def step(raw, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(raw)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(raw, updates), opt_state, loss
+
+    def body(carry, _):
+        raw, opt_state = carry
+        raw2, opt_state2, loss = step(raw, opt_state)
+        return (raw2, opt_state2), loss
+
+    (raw, _), losses = jax.lax.scan(body, (raw, opt_state), None,
+                                    length=steps)
+    final = float(losses[-1])
+    return FitResult(scene=raw.to_scene(), raw=raw, losses=losses,
+                     final_loss=final)

@@ -1,0 +1,131 @@
+"""Tests for splat_tpu.train — the differentiable fitting module.
+
+The reference has no training path at all (SURVEY §1); these tests pin the
+TPU-native extension: raw/activated round-trips, multi-view photometric
+fitting, and recovery of a perturbed scene.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splat_tpu.camera import Camera, orbit_trajectory
+from splat_tpu.config import RenderConfig
+from splat_tpu.render.dense import render_dense
+from splat_tpu.train import RawParams, fit, photometric_loss, psnr
+from splat_tpu.utils.fixtures import random_scene
+
+
+def _device_scene(scene):
+    return jax.tree.map(jnp.asarray, scene)
+
+
+def test_raw_params_round_trip():
+    scene = _device_scene(random_scene(12, seed=1))
+    back = RawParams.from_scene(scene).to_scene()
+    np.testing.assert_allclose(back.means, scene.means, rtol=1e-6)
+    np.testing.assert_allclose(back.quats, scene.quats, rtol=1e-6)
+    np.testing.assert_allclose(back.scales, scene.scales, rtol=1e-5)
+    np.testing.assert_allclose(back.opacities, scene.opacities,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(back.sh, scene.sh, rtol=1e-6)
+
+
+def test_raw_params_logit_finite_at_extremes():
+    scene = _device_scene(random_scene(4, seed=2))
+    scene = dataclasses.replace(
+        scene, opacities=jnp.asarray([0.0, 1.0, 0.5, 1.0], jnp.float32))
+    raw = RawParams.from_scene(scene)
+    assert np.all(np.isfinite(np.asarray(raw.logit_opacities)))
+    back = raw.to_scene()
+    assert float(back.opacities[0]) < 1e-3
+    assert float(back.opacities[1]) > 1 - 1e-3
+
+
+def test_psnr_basics():
+    a = jnp.zeros((8, 8, 3))
+    assert float(psnr(a, a)) > 100.0
+    b = a + 0.1
+    np.testing.assert_allclose(float(psnr(a, b)), 20.0, atol=1e-4)
+
+
+def test_photometric_loss_grad_finite():
+    scene = _device_scene(random_scene(8, seed=3, extent=1.0,
+                                       scale_range=(0.1, 0.25)))
+    cams = orbit_trajectory(Camera.create(h=16, w=16,
+                                          position=(0.0, 0.0, 3.0)),
+                            num_frames=2, yaw_sweep=0.6)
+    config = RenderConfig(sh_degree=0)
+    targets = jax.vmap(lambda c: render_dense(scene, c, config))(cams)
+    raw = RawParams.from_scene(scene)
+    g = jax.grad(photometric_loss)(raw, cams, targets, config)
+    for f in dataclasses.fields(raw):
+        assert np.all(np.isfinite(np.asarray(getattr(g, f.name)))), f.name
+    # loss at the generating scene is (near) zero
+    l0 = float(photometric_loss(raw, cams, targets, config))
+    assert l0 < 1e-8
+
+
+def test_fit_recovers_perturbed_scene():
+    """Perturb colors + opacities + positions of the generating scene and
+    fit them back from 3 rendered views."""
+    true_scene = _device_scene(random_scene(6, seed=9, extent=0.8,
+                                            scale_range=(0.15, 0.3)))
+    true_scene = dataclasses.replace(
+        true_scene, opacities=jnp.clip(true_scene.opacities, 0.3, 0.9))
+    cams = orbit_trajectory(Camera.create(h=24, w=24,
+                                          position=(0.0, 0.0, 3.0)),
+                            num_frames=3, yaw_sweep=1.2)
+    config = RenderConfig(sh_degree=0)
+    targets = jax.vmap(lambda c: render_dense(true_scene, c, config))(cams)
+
+    rng = np.random.default_rng(0)
+    start = dataclasses.replace(
+        true_scene,
+        means=true_scene.means + jnp.asarray(
+            rng.normal(0, 0.05, true_scene.means.shape), jnp.float32),
+        sh=true_scene.sh + jnp.asarray(
+            rng.normal(0, 0.35, true_scene.sh.shape), jnp.float32),
+        opacities=jnp.clip(true_scene.opacities + jnp.asarray(
+            rng.normal(0, 0.2, true_scene.opacities.shape), jnp.float32),
+            0.05, 0.95))
+
+    result = fit(start, cams, targets, steps=150, lr=2e-2, config=config)
+    l0 = float(result.losses[0])
+    assert l0 > 1e-5, "perturbation produced no initial error"
+    assert result.final_loss < l0 / 5, (
+        f"loss {l0:.3e} -> {result.final_loss:.3e}: fit stalled")
+
+    # image-space recovery: fitted renders beat the perturbed start by
+    # a wide PSNR margin on a held-in view
+    img_start = render_dense(start, jax.tree.map(lambda a: a[0], cams),
+                             config)
+    img_fit = render_dense(result.scene,
+                           jax.tree.map(lambda a: a[0], cams), config)
+    tgt = targets[0]
+    gain = float(psnr(img_fit, tgt)) - float(psnr(img_start, tgt))
+    assert gain > 6.0, f"PSNR gain only {gain:.2f} dB"
+
+
+def test_fit_accepts_lr_overrides_and_freezes():
+    """lr_scales=0 freezes a leaf exactly."""
+    scene = _device_scene(random_scene(5, seed=4, extent=0.8,
+                                       scale_range=(0.15, 0.3)))
+    cams = orbit_trajectory(Camera.create(h=16, w=16,
+                                          position=(0.0, 0.0, 3.0)),
+                            num_frames=1)
+    config = RenderConfig(sh_degree=0)
+    targets = jax.vmap(lambda c: render_dense(scene, c, config))(cams)
+    start = dataclasses.replace(
+        scene, sh=scene.sh + 0.3)
+    result = fit(start, cams, targets, steps=10, lr=1e-2, config=config,
+                 lr_scales={"means": 0.0, "quats": 0.0, "log_scales": 0.0,
+                            "logit_opacities": 0.0})
+    np.testing.assert_array_equal(np.asarray(result.scene.means),
+                                  np.asarray(start.means))
+    np.testing.assert_array_equal(np.asarray(result.raw.quats),
+                                  np.asarray(start.quats))
+    assert not np.allclose(np.asarray(result.scene.sh),
+                           np.asarray(start.sh))
