@@ -59,6 +59,8 @@ def run_scene(kind: str, n: int, h: int, w: int, frames: int,
 
 
 def main() -> None:
+    from splat_tpu.utils.compilecache import enable_persistent_cache
+    enable_persistent_cache()
     n = int(os.environ.get("SPLAT_BENCH_N", 1_000_000))
     h = int(os.environ.get("SPLAT_BENCH_H", 1080))
     w = int(os.environ.get("SPLAT_BENCH_W", 1920))

@@ -386,6 +386,10 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
+    # Warm-start: persist compiled executables across processes (first
+    # 1080p compile is ~90 s on the remote TPU; cached, seconds).
+    from splat_tpu.utils.compilecache import enable_persistent_cache
+    enable_persistent_cache()
     return args.fn(args)
 
 

@@ -103,8 +103,10 @@ def serve(scene, camera, config=None, *, host: str = "127.0.0.1",
 
     from splat_tpu.config import RenderConfig
     from splat_tpu.render.api import render_fn, resolve_method
+    from splat_tpu.utils.compilecache import enable_persistent_cache
     from splat_tpu.utils.image import encode_png
 
+    enable_persistent_cache()
     config = config or RenderConfig()
 
     # The tiled path renders with stats so duplication-buffer overflow is
