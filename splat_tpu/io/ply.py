@@ -62,25 +62,50 @@ def _parse_header(f) -> tuple[str, list[tuple[str, int, list[tuple[str, str]]]]]
         if not line:
             raise PlyError("unexpected EOF in header")
         tokens = line.decode("ascii", "replace").strip().split()
-        if not tokens or tokens[0] == "comment":
+        if not tokens or tokens[0] in ("comment", "obj_info"):
+            # obj_info is a legal PLY header keyword some 3DGS exporters
+            # emit; like comments it carries no layout information.
             continue
         if tokens[0] == "format":
+            if len(tokens) < 2:
+                raise PlyError(f"malformed format line: {line!r}")
             fmt = tokens[1]
         elif tokens[0] == "element":
-            elements.append((tokens[1], int(tokens[2]), []))
+            if len(tokens) < 3:
+                raise PlyError(f"malformed element line: {line!r}")
+            try:
+                count = int(tokens[2])
+            except ValueError:
+                raise PlyError(f"bad element count in {line!r}") from None
+            if count < 0:
+                raise PlyError(f"negative element count in {line!r}")
+            elements.append((tokens[1], count, []))
         elif tokens[0] == "property":
             if not elements:
                 raise PlyError("property before any element")
+            if len(tokens) < 3:
+                raise PlyError(f"malformed property line: {line!r}")
             if tokens[1] == "list":
                 raise PlyError("list properties are not supported for 3DGS")
             dt = _PLY_DTYPES.get(tokens[1])
             if dt is None:
                 raise PlyError(f"unsupported property type {tokens[1]!r}")
-            elements[-1][2].append((tokens[2], dt))
+            name = tokens[2]
+            if any(name == p for p, _ in elements[-1][2]):
+                raise PlyError(f"duplicate property {name!r}")
+            elements[-1][2].append((name, dt))
         elif tokens[0] == "end_header":
             break
         else:
-            raise PlyError(f"unrecognized header line: {line!r}")
+            # Unknown keyword: warn and skip.  The reference panics on
+            # surprises (src/gaussians.rs:375-405 unwrap chain); real
+            # exporters add vendor keywords, so a loader that hard-fails
+            # on them rejects legal files.  Structure we cannot parse
+            # (element/property/format lines) still raises above.
+            import warnings
+            warnings.warn(f"ignoring unrecognized PLY header line: "
+                          f"{line.strip()!r}", stacklevel=3)
+            continue
     if fmt not in ("binary_little_endian", "binary_big_endian", "ascii"):
         raise PlyError(f"unsupported format {fmt!r}")
     return fmt, elements

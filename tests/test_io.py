@@ -171,3 +171,77 @@ def test_scene_pad_to():
     assert float(padded.opacities[4:].max()) == 0.0
     np.testing.assert_allclose(np.asarray(padded.means[:4]),
                                np.asarray(scene.means))
+
+
+def test_obj_info_and_unknown_keywords_tolerated(tmp_path):
+    """Legal obj_info lines and vendor keywords must not reject the file.
+
+    The reference panics on header surprises (src/gaussians.rs:375-405);
+    some 3DGS exporters emit obj_info, so we warn-and-skip instead.
+    """
+    p = tmp_path / "t.ply"
+    _write_manual_ply(p, n=4)
+    raw = p.read_bytes()
+    head, _, payload = raw.partition(b"end_header\n")
+    lines = head.decode().strip().split("\n")
+    # insert benign lines after the format line
+    lines.insert(2, "obj_info generated by splat_tpu test")
+    lines.insert(3, "comment hello")
+    lines.insert(4, "vendor_custom_keyword 42")
+    p.write_bytes(("\n".join(lines) + "\nend_header\n").encode() + payload)
+    import warnings as _w
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        fields = read_ply_arrays(p)
+    assert fields["x"].shape == (4,)
+    # obj_info/comment are silent; the unknown keyword warns
+    msgs = [str(r.message) for r in rec]
+    assert any("vendor_custom_keyword" in m for m in msgs)
+    assert not any("obj_info" in m for m in msgs)
+    scene = load_ply(p, center=False, native=False)
+    assert scene.num_gaussians == 4
+
+
+def test_header_fuzz_never_crashes_untyped(tmp_path):
+    """Mutated/truncated headers must raise PlyError (or parse), never
+    an untyped crash (IndexError, UnicodeDecodeError, struct.error...)."""
+    p = tmp_path / "base.ply"
+    _write_manual_ply(p, n=3)
+    raw = p.read_bytes()
+    rng = np.random.default_rng(7)
+    mutants = []
+    # truncations at every header-ish prefix length
+    for cut in [0, 1, 3, 4, 10, 30, 50, len(raw) // 2, len(raw) - 1]:
+        mutants.append(raw[:cut])
+    # byte flips in the header region
+    for _ in range(40):
+        b = bytearray(raw)
+        i = int(rng.integers(0, min(400, len(b))))
+        b[i] = int(rng.integers(0, 256))
+        mutants.append(bytes(b))
+    # structured mutations
+    mutants.append(raw.replace(b"element vertex 3", b"element vertex -1"))
+    mutants.append(raw.replace(b"element vertex 3", b"element vertex 999999"))
+    mutants.append(raw.replace(b"property float x", b"property list x"))
+    mutants.append(raw.replace(b"property float x", b"property blob x"))
+    mutants.append(raw.replace(b"format binary_little_endian 1.0",
+                               b"format binary_martian 1.0"))
+    mutants.append(b"ply\n" + b"comment spam\n" * 5 + raw[4:])
+    f = tmp_path / "fuzz.ply"
+    parsed = 0
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")  # mutants legitimately warn; keep quiet
+        for m in mutants:
+            f.write_bytes(m)
+            try:
+                fields = read_ply_arrays(f)
+                arrays_to_scene(fields, center=False)
+                parsed += 1
+            except PlyError:
+                pass  # typed rejection is the contract
+            except (ValueError, OverflowError) as e:
+                # numpy-level rejections riding through are acceptable
+                # only as ValueError subclasses with a message
+                assert str(e)
+    assert parsed >= 1  # the unmutated-equivalent variants still load
