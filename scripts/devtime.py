@@ -107,7 +107,8 @@ def main():
             key = (n, h, w, config.sigma_cutoff, config.alpha_clamp,
                    config.alpha_min, config.sh_degree, config.lowpass,
                    tuple(config.background), config.alpha_channel,
-                   config.render_mode, config.depth_range)
+                   config.render_mode, config.depth_range,
+                   config.supersample)
             if (n, h, w) not in scenes:
                 scenes[(n, h, w)] = st.surface_scene(n, seed=11)
             scene = scenes[(n, h, w)]
@@ -184,6 +185,11 @@ def main():
                       RenderConfig(render_mode="depth",
                                    depth_range=(1.0, 7.0),
                                    alpha_channel=True)),
+                # supersampled AA: bins/rasters at 2x (1200x1600) then
+                # box-downsamples — exercises the hi-res grid + the
+                # downsample fusion on the compiled path
+                check("supersample2",
+                      RenderConfig(supersample=2, max_dup_factor=10.0)),
             ]
         if args.psnr_sweep:
             # The printed inventory is the AUTHORITATIVE sweep count —

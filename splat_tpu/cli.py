@@ -56,6 +56,10 @@ def _add_render_flags(p: argparse.ArgumentParser) -> None:
                    help="view-depth range mapped to [0,1] in depth mode "
                         "(default: each frame's visible min/max — pin an "
                         "explicit range for stable orbits)")
+    p.add_argument("--supersample", type=int, default=1, metavar="K",
+                   help="anti-aliasing: render at KxK the resolution and "
+                        "box-filter down (the notebook prototype's "
+                        "supersampled target); cost scales ~K^2")
     p.add_argument("--sigma-cutoff", default="3.0",
                    help="bbox radius in standard deviations (reference: "
                         "3-sigma quads); 'inf' = truncation-free mode "
@@ -125,6 +129,7 @@ def _config(args, scene=None, cam=None):
         base = RenderConfig(sh_degree=args.sh_degree, lowpass=args.lowpass,
                             tile_px=args.tile, tile_py=args.tile_y,
                             sigma_cutoff=sigma, binning_key=bkey,
+                            supersample=getattr(args, "supersample", 1),
                             background=_parse_vec(args.background, 3))
         stats = pair_stats(scene, cam, base)
         dup = stats["suggested_dup_factor"]
@@ -136,6 +141,7 @@ def _config(args, scene=None, cam=None):
                         max_dup_factor=float(dup), sigma_cutoff=sigma,
                         alpha_channel=getattr(args, "alpha", False),
                         binning_key=bkey,
+                        supersample=getattr(args, "supersample", 1),
                         render_mode=mode, depth_range=drange,
                         background=_parse_vec(args.background, 3))
 

@@ -167,6 +167,16 @@ class RenderConfig:
     # mapping can shift between frames; pin an explicit range for stable
     # animations and metric use).  Ignored in color mode.
     depth_range: tuple[float, float] | None = None
+    # Supersampled anti-aliasing: render at supersample x (H, W) and
+    # box-filter down.  The reference's notebook cell 3 renders a
+    # supersampled 2560x1440 target from a 1280x720 camera (SURVEY §2.1)
+    # — same idea, as a config knob.  The camera's field of view is
+    # unchanged (focal scales with resolution); cost scales ~k^2 in the
+    # pixel stages and in pair count.  Applied by render_dense /
+    # render_tiled (hence every public path) and mirrored by the oracle;
+    # the sharded slab renderers ignore it (slab decomposition happens at
+    # native resolution).
+    supersample: int = 1
     # Radius of the splat bounding box in standard deviations.  The reference
     # uses 3-sigma quads (src/pipelines.rs:27).  ``math.inf`` selects
     # truncation-free rendering: with tight_radius (required), every bbox
@@ -197,6 +207,9 @@ class RenderConfig:
         if self.binning_key not in ("rank", "depth"):
             raise ValueError(f"binning_key must be 'rank' or 'depth', "
                              f"got {self.binning_key!r}")
+        if not (isinstance(self.supersample, int) and self.supersample >= 1):
+            raise ValueError(f"supersample must be an int >= 1, "
+                             f"got {self.supersample!r}")
         if self.render_mode not in ("color", "depth"):
             raise ValueError(f"render_mode must be 'color' or 'depth', "
                              f"got {self.render_mode!r}")

@@ -69,6 +69,13 @@ def pair_stats(scene, camera: Camera, config: RenderConfig | None = None):
     from splat_tpu.render.binning import count_pairs
 
     config = config or RenderConfig()
+    if config.supersample > 1:
+        # render_tiled bins at the supersampled resolution; the capacity
+        # suggestion must count pairs at the same scale.
+        import dataclasses
+
+        camera = dataclasses.replace(camera, h=camera.h * config.supersample,
+                                     w=camera.w * config.supersample)
 
     @jax.jit
     def f(scene, camera):

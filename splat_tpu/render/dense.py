@@ -55,13 +55,20 @@ def render_dense(scene, camera: Camera, config: RenderConfig | None = None,
     with config.alpha_channel (fourth channel = accumulated 1 - T).
     Jit-friendly."""
     config = config or RenderConfig()
+    ss = config.supersample
+    if ss > 1:  # supersampled AA: render hi-res, box-filter at the end
+        import dataclasses
+
+        camera = dataclasses.replace(camera, h=camera.h * ss,
+                                     w=camera.w * ss)
     h, w = camera.h, camera.w
     n = scene.num_gaussians
     bg = jnp.asarray(config.background, jnp.float32)
     if n == 0:  # empty scene: pure background, zero coverage
         bgc = (jnp.concatenate([bg, jnp.zeros((1,), jnp.float32)])
                if config.alpha_channel else bg)
-        return jnp.broadcast_to(bgc, (h, w, bgc.shape[0])).astype(jnp.float32)
+        return jnp.broadcast_to(
+            bgc, (h // ss, w // ss, bgc.shape[0])).astype(jnp.float32)
     proj = project_gaussians(scene, camera, config)
 
     # Front-to-back: ascending view depth.  Invisible splats get +inf keys so
@@ -104,7 +111,12 @@ def render_dense(scene, camera: Camera, config: RenderConfig | None = None,
     img = img + transmit[..., None] * bg
     if config.alpha_channel:
         img = jnp.concatenate([img, 1.0 - transmit[..., None]], axis=-1)
-    return jnp.clip(img, 0.0, 1.0)
+    img = jnp.clip(img, 0.0, 1.0)
+    if ss > 1:
+        from splat_tpu.utils.image import box_downsample
+
+        img = box_downsample(img, ss)
+    return img
 
 
 render_dense_jit = jax.jit(render_dense,

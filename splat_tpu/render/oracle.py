@@ -153,7 +153,11 @@ def render_oracle(scene, camera, config: RenderConfig | None = None):
     eye = np.asarray(jax.device_get(camera.eye()), np.float64)
     target = np.asarray(jax.device_get(camera.target), np.float64)
     up = np.asarray(jax.device_get(camera.up), np.float64)
-    h, w = camera.h, camera.w
+    # Supersampled AA mirrors the device renderers: evaluate at ss x the
+    # resolution (focal scales with h, so the field of view is unchanged)
+    # and box-filter down at the end.
+    ss = config.supersample
+    h, w = camera.h * ss, camera.w * ss
     fovy = float(jax.device_get(camera.fovy))
     znear = float(jax.device_get(camera.znear))
     zfar = float(jax.device_get(camera.zfar))
@@ -249,4 +253,9 @@ def render_oracle(scene, camera, config: RenderConfig | None = None):
 
     if config.alpha_channel:
         img = np.concatenate([img, (1 - trans)[..., None]], axis=-1)
-    return np.clip(img, 0.0, 1.0).astype(np.float32)
+    img = np.clip(img, 0.0, 1.0)
+    if ss > 1:
+        from splat_tpu.utils.image import box_downsample
+
+        img = box_downsample(img, ss)
+    return img.astype(np.float32)

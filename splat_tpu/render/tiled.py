@@ -30,6 +30,12 @@ def render_tiled(scene, camera: Camera, config: RenderConfig | None = None,
     config = config or RenderConfig()
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    ss = config.supersample
+    if ss > 1:  # supersampled AA: render hi-res, box-filter at the end
+        import dataclasses
+
+        camera = dataclasses.replace(camera, h=camera.h * ss,
+                                     w=camera.w * ss)
     h, w = camera.h, camera.w
     if scene.num_gaussians == 0:  # static: binning has no N=0 shape
         bgc = tuple(config.background)
@@ -37,7 +43,7 @@ def render_tiled(scene, camera: Camera, config: RenderConfig | None = None,
             bgc = bgc + (0.0,)  # nothing rendered: zero coverage
         img = jnp.broadcast_to(
             jnp.asarray(bgc, jnp.float32),
-            (h, w, len(bgc))).astype(jnp.float32)
+            (h // ss, w // ss, len(bgc))).astype(jnp.float32)
         if return_stats:
             z = jnp.int32(0)
             return img, {"num_pairs": z, "overflow": z, "visible": z,
@@ -47,6 +53,10 @@ def render_tiled(scene, camera: Camera, config: RenderConfig | None = None,
     proj = project_gaussians(scene, camera, config)
     bins = build_tile_bins(proj, h, w, config, interpret=interpret)
     img = rasterize_tiles(bins, h, w, config, interpret=interpret)
+    if ss > 1:
+        from splat_tpu.utils.image import box_downsample
+
+        img = box_downsample(img, ss)
     if return_stats:
         occupancy = bins.tile_end - bins.tile_start
         stats = {

@@ -124,3 +124,20 @@ def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
 
 def to_uint8(img: np.ndarray) -> np.ndarray:
     return (np.clip(np.asarray(img), 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+
+
+def box_downsample(img, k: int):
+    """Average k x k pixel blocks: (H*k, W*k, C) -> (H, W, C).
+
+    Works on NumPy and JAX arrays alike (pure reshape + mean, traceable
+    and differentiable).  The downsampling half of supersampled
+    anti-aliasing (RenderConfig.supersample; the reference notebook's
+    cell-3 supersampled target, SURVEY §2.1).
+    """
+    if k == 1:
+        return img
+    hk, wk, c = img.shape
+    if hk % k or wk % k:
+        raise ValueError(f"image {img.shape} not divisible by supersample "
+                         f"factor {k}")
+    return img.reshape(hk // k, k, wk // k, k, c).mean(axis=(1, 3))

@@ -546,3 +546,66 @@ class TestDepthKeyBinning:
                                     max_dup_factor=0.5))
         assert int(bins.num_pairs) == 0
         assert int(bins.overflow) == 0
+
+
+class TestSupersample:
+    """RenderConfig.supersample: render at k x (H, W), box-filter down —
+    the notebook's supersampled-target AA (SURVEY §2.1 notebook row)."""
+
+    def test_tiled_matches_oracle_at_2x(self, small_random_scene):
+        cam = Camera.create(h=64, w=96, position=(0.0, 0.0, 4.0))
+        config = _cfg(supersample=2)
+        tiled = np.asarray(render_tiled(small_random_scene, cam, config,
+                                        interpret=True))
+        assert tiled.shape == (64, 96, 3)  # output stays native res
+        gold = render_oracle(small_random_scene, cam, config)
+        assert gold.shape == (64, 96, 3)
+        p = psnr(tiled, gold)
+        assert p >= 45.0, f"2x-supersampled tiled vs oracle PSNR {p:.2f}"
+
+    def test_dense_matches_oracle_at_2x(self, small_random_scene):
+        cam = Camera.create(h=48, w=64, position=(0.0, 0.0, 4.0))
+        config = RenderConfig(supersample=2)
+        dense = np.asarray(render_dense(small_random_scene, cam, config))
+        assert dense.shape == (48, 64, 3)
+        gold = render_oracle(small_random_scene, cam, config)
+        p = psnr(dense, gold)
+        assert p >= 45.0, f"2x-supersampled dense vs oracle PSNR {p:.2f}"
+
+    def test_supersample_equals_manual_downsample(self, small_random_scene):
+        """ss=2 is exactly: render at 2x resolution, box-average 2x2."""
+        from splat_tpu.utils.image import box_downsample
+        import dataclasses
+        cam = Camera.create(h=48, w=64, position=(0.0, 0.0, 4.0))
+        ss = np.asarray(render_dense(small_random_scene, cam,
+                                     RenderConfig(supersample=2)))
+        cam2 = dataclasses.replace(cam, h=96, w=128)
+        hi = np.asarray(render_dense(small_random_scene, cam2,
+                                     RenderConfig()))
+        np.testing.assert_allclose(ss, box_downsample(hi, 2), atol=1e-6)
+
+    def test_supersample_reduces_aliasing_error(self):
+        """On a scene with sub-pixel splats, ss=4 must be closer to a
+        high-res ground truth than the native render is."""
+        scene = random_scene(64, seed=3, scale_range=(0.002, 0.008))
+        cam = Camera.create(h=32, w=32, position=(0.0, 0.0, 3.0))
+        gold = render_oracle(scene, cam, RenderConfig(supersample=8))
+        native = render_oracle(scene, cam, RenderConfig())
+        ss4 = render_oracle(scene, cam, RenderConfig(supersample=4))
+        err_native = float(np.abs(native - gold).mean())
+        err_ss = float(np.abs(ss4 - gold).mean())
+        assert err_ss < err_native
+
+    def test_config_validation(self):
+        with pytest.raises(ValueError, match="supersample"):
+            RenderConfig(supersample=0)
+        with pytest.raises(ValueError, match="supersample"):
+            RenderConfig(supersample=1.5)
+
+    def test_pair_stats_counts_supersampled_pairs(self, small_random_scene):
+        from splat_tpu.render.api import pair_stats
+        cam = Camera.create(h=64, w=64, position=(0.0, 0.0, 4.0))
+        s1 = pair_stats(small_random_scene, cam, RenderConfig())
+        s2 = pair_stats(small_random_scene, cam,
+                        RenderConfig(supersample=2))
+        assert s2["num_pairs"] > s1["num_pairs"]
