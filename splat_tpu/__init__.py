@@ -25,7 +25,8 @@ from splat_tpu.config import RenderConfig
 from splat_tpu.scene import DeviceScene, GaussianScene
 from splat_tpu.camera import Camera
 from splat_tpu.io.ply import load_ply, save_ply
-from splat_tpu.render.api import pair_stats, render, render_fn
+from splat_tpu.render.api import (auto_config, pair_stats, render,
+                                  render_fn)
 from splat_tpu.render.dense import render_dense
 from splat_tpu.train import FitResult, RawParams, fit, psnr
 from splat_tpu.utils.fixtures import (naive_gaussians, random_scene,
@@ -40,6 +41,7 @@ __all__ = [
     "Camera",
     "load_ply",
     "save_ply",
+    "auto_config",
     "pair_stats",
     "render",
     "render_dense",

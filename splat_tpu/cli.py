@@ -35,12 +35,16 @@ def _add_render_flags(p: argparse.ArgumentParser) -> None:
                    help="tile width in pixels (and height unless --tile-y)")
     p.add_argument("--tile-y", type=int, default=0,
                    help="tile height in pixels (0 = square tiles)")
-    p.add_argument("--dup-factor", default="4",
-                   help="duplication-buffer capacity as a multiple of N; "
-                        "fractional values are fine (~2.2 is the tuned "
-                        "throughput setting; raise on overflow warnings), "
-                        "or 'auto' to measure the scene's pair load at "
-                        "the given pose and add 25%% headroom")
+    p.add_argument("--dup-factor", default="auto",
+                   help="duplication-buffer capacity as a multiple of N. "
+                        "Default 'auto': measure the scene's pair load at "
+                        "the given pose (one cheap jit) and add 25%% "
+                        "headroom — every K-sized binning op scales with "
+                        "capacity, so this is ~2x the throughput of the "
+                        "conservative fixed default on typical scenes. "
+                        "Fractional explicit values are fine; raise on "
+                        "overflow warnings (overflow is always detected, "
+                        "never silent)")
     p.add_argument("--background", default="0,0,0")
     p.add_argument("--alpha", action="store_true",
                    help="output RGBA: the alpha channel is the accumulated "
@@ -121,11 +125,20 @@ def _config(args, scene=None, cam=None):
     mode = getattr(args, "render_mode", "color")
     drange = getattr(args, "depth_range", None)
     drange = _parse_vec(drange, 2) if drange else None
-    dup = getattr(args, "dup_factor", "4")
+    dup = getattr(args, "dup_factor", "auto")
     if dup == "auto":
         if scene is None or cam is None:
             raise SystemExit("--dup-factor auto needs a scene and pose")
-        from splat_tpu.render.api import pair_stats
+        from splat_tpu.render.api import pair_stats, resolve_method
+        if resolve_method(getattr(args, "method", "auto"), scene) == "dense":
+            return RenderConfig(  # dense path has no duplication buffer
+                sh_degree=args.sh_degree, lowpass=args.lowpass,
+                tile_px=args.tile, tile_py=args.tile_y,
+                sigma_cutoff=sigma, binning_key=bkey,
+                alpha_channel=getattr(args, "alpha", False),
+                supersample=getattr(args, "supersample", 1),
+                render_mode=mode, depth_range=drange,
+                background=_parse_vec(args.background, 3))
         base = RenderConfig(sh_degree=args.sh_degree, lowpass=args.lowpass,
                             tile_px=args.tile, tile_py=args.tile_y,
                             sigma_cutoff=sigma, binning_key=bkey,

@@ -46,6 +46,40 @@ def render_fn(method: str = "auto", config: RenderConfig | None = None):
     return jax.jit(f)
 
 
+def auto_config(scene, camera: Camera, config: RenderConfig | None = None,
+                *, headroom: float = 1.1,
+                quantum: float = 0.25) -> RenderConfig:
+    """Size ``max_dup_factor`` from the scene's measured pair load.
+
+    Every K-sized binning op (expansion, sort, feature gather) scales
+    with the capacity, so the default 4.0 costs ~2x the throughput of a
+    tuned setting on typical scenes — and conversely a heavy-footprint
+    scene can *overflow* 4.0.  This measures the true slot demand at the
+    given pose (one cheap jit: projection + span counting, no render)
+    and returns a config whose capacity is ``slots/N * headroom``,
+    rounded UP to a multiple of ``quantum`` so nearby poses reuse the
+    same compiled pipeline (capacity is a static shape: a new value
+    recompiles).
+
+    headroom: 1.1 suits rendering the measured pose; use ~1.25+ when one
+    measurement must cover a pose sweep (orbit/serve).  The public
+    paths' overflow audit remains the backstop either way — a pose that
+    outgrows the sized capacity raises, never truncates silently.
+
+    The reference needs no tuning knobs (its CPU pipeline has no
+    capacity concept); with this, neither does the default path here.
+    """
+    import dataclasses
+    import math
+
+    config = config or RenderConfig()
+    stats = pair_stats(scene, camera, config)
+    n = max(scene.num_gaussians, 1)
+    need = stats["slots"] / n * headroom
+    dup = max(1.0, math.ceil(need / quantum) * quantum)
+    return dataclasses.replace(config, max_dup_factor=dup)
+
+
 def pair_stats(scene, camera: Camera, config: RenderConfig | None = None):
     """Measure the scene's true (gaussian, tile) pair load at a pose.
 
@@ -108,6 +142,7 @@ def render(scene, camera: Camera, config: RenderConfig | None = None,
     overflow themselves via ``render_tiled(..., return_stats=True)``, or
     pass ``check_overflow=False``.
     """
+    auto_capacity = config is None
     config = config or RenderConfig()
     m = resolve_method(method, scene)
     if m == "tiled":
@@ -118,6 +153,13 @@ def render(scene, camera: Camera, config: RenderConfig | None = None,
             # strided column reads — CLAUDE.md rule 15).  Hot loops
             # should pack ONCE and reuse: scene.pack_device().
             scene = scene.pack_device()
+        if auto_capacity and scene.num_gaussians > 0:
+            # No config given -> size the duplication capacity from the
+            # measured pair load instead of the conservative default
+            # (K-sized costs scale with capacity: ~2x throughput on
+            # typical scenes; heavy scenes that would overflow 4.0 now
+            # just work).  Quantized, so pose changes rarely recompile.
+            config = auto_config(scene, camera, config)
     if m == "tiled" and check_overflow:
         from splat_tpu.render.tiled import render_tiled_checked
         img = render_tiled_checked(scene, camera, config)

@@ -609,3 +609,51 @@ class TestSupersample:
         s2 = pair_stats(small_random_scene, cam,
                         RenderConfig(supersample=2))
         assert s2["num_pairs"] > s1["num_pairs"]
+
+
+class TestAutoCapacity:
+    """auto_config / render(config=None) capacity auto-sizing."""
+
+    def test_auto_config_sizes_from_pair_load(self, small_random_scene):
+        from splat_tpu.render.api import auto_config, pair_stats
+        cam = Camera.create(h=96, w=128, position=(0.0, 0.0, 4.0))
+        cfg = auto_config(small_random_scene, cam)
+        stats = pair_stats(small_random_scene, cam, cfg)
+        n = small_random_scene.num_gaussians
+        # capacity covers the measured slots and is far below the 4.0
+        # conservative default on this small-footprint scene
+        assert cfg.max_dup_factor * n >= stats["slots"]
+        assert cfg.max_dup_factor < 4.0
+        # quantized to 0.25 steps (pose stability -> compile reuse)
+        assert abs(cfg.max_dup_factor / 0.25
+                   - round(cfg.max_dup_factor / 0.25)) < 1e-9
+
+    def test_auto_config_quantization_is_pose_stable(self,
+                                                     small_random_scene):
+        from splat_tpu.render.api import auto_config
+        cam = Camera.create(h=96, w=128, position=(0.0, 0.0, 4.0))
+        a = auto_config(small_random_scene, cam)
+        b = auto_config(small_random_scene, cam.rotate(dyaw=0.02))
+        assert a.max_dup_factor == b.max_dup_factor  # same compiled shape
+
+    def test_render_default_config_autosizes_and_does_not_overflow(self):
+        """render() with no config on a >4096-splat scene (tiled path)
+        must auto-size capacity and still render correctly."""
+        from splat_tpu.render.api import render
+        scene = random_scene(5000, seed=5)
+        cam = Camera.create(h=96, w=128, position=(0.0, 0.0, 4.0))
+        img = np.asarray(render(scene, cam))  # raises on overflow
+        gold = render_oracle(scene, cam, RenderConfig())
+        p = psnr(img, gold)
+        assert p >= 45.0, f"auto-capacity render vs oracle PSNR {p:.2f}"
+
+    def test_render_explicit_config_is_respected(self, small_random_scene):
+        """An explicit config must never be silently re-sized."""
+        from splat_tpu.render.api import render
+        cam = Camera.create(h=64, w=64, position=(0.0, 0.0, 4.0))
+        cfg = RenderConfig(max_dup_factor=1.25)
+        scene = random_scene(5000, seed=5)
+        try:
+            render(scene, cam, cfg, method="tiled")
+        except RuntimeError as e:
+            assert "overflow" in str(e)  # tight capacity stays tight
