@@ -28,6 +28,7 @@ from splat_tpu.io.ply import load_ply, save_ply
 from splat_tpu.render.api import (auto_config, pair_stats, render,
                                   render_fn)
 from splat_tpu.render.dense import render_dense
+from splat_tpu.render.diff import render_tiled_diff
 from splat_tpu.train import FitResult, RawParams, fit, psnr
 from splat_tpu.utils.fixtures import (naive_gaussians, random_scene,
                                       surface_scene)
@@ -45,6 +46,7 @@ __all__ = [
     "pair_stats",
     "render",
     "render_dense",
+    "render_tiled_diff",
     "render_fn",
     "fit",
     "FitResult",

@@ -21,9 +21,12 @@ optimization loop:
   scaling (positions want far smaller steps than colors — the standard 3DGS
   recipe), loss history out.
 
-The dense renderer is the documented differentiable surface (the tiled
-Pallas path has no VJP); fitting is therefore for small-to-medium scenes —
-the building block, not a production trainer.
+Two differentiable surfaces: the dense renderer (exact autodiff,
+O(N·H·W) — small/medium scenes) and, since round 4, the production
+tiled pipeline via its custom VJP (render/diff.py: a reverse-walk
+Pallas backward kernel over the same per-tile pair ranges) — pass
+``method="tiled"`` to train production-scale scenes.  D-SSIM
+(``dssim_weight``) completes the standard 3DGS loss recipe.
 """
 
 from __future__ import annotations
@@ -91,25 +94,89 @@ def psnr(img: jax.Array, ref: jax.Array, peak: float = 1.0) -> jax.Array:
     return 10.0 * jnp.log10(peak * peak / jnp.maximum(mse, 1e-20))
 
 
+def ssim(a: jax.Array, b: jax.Array, *, window: int = 11,
+         sigma: float = 1.5, c1: float = 0.01 ** 2,
+         c2: float = 0.03 ** 2) -> jax.Array:
+    """Mean structural similarity over (H, W, C) images in [0, 1].
+
+    The standard gaussian-windowed SSIM (the 3DGS training recipe's
+    second loss term).  Implemented as two separable depthwise
+    convolutions per moment — the XLA-friendly formulation (a 2D conv
+    would work too; separable halves the FLOPs and fuses cleanly).
+    Differentiable; used via the D-SSIM loss 1 - ssim.
+    """
+    r = window // 2
+    x = jnp.arange(window, dtype=jnp.float32) - r
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    k = k / jnp.sum(k)
+
+    def blur(img):  # (H, W, C) gaussian filter, separable, SAME-padded
+        c = img.shape[-1]
+        kh = jnp.tile(k.reshape(1, window, 1, 1), (1, 1, 1, c))
+        kv = jnp.tile(k.reshape(window, 1, 1, 1), (1, 1, 1, c))
+        y = img[None]
+        dn = jax.lax.conv_dimension_numbers(y.shape, kh.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            y, kh, (1, 1), [(0, 0), (r, r)], dimension_numbers=dn,
+            feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
+        y = jax.lax.conv_general_dilated(
+            y, kv, (1, 1), [(r, r), (0, 0)], dimension_numbers=dn,
+            feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
+        return y[0]
+
+    mu_a = blur(a)
+    mu_b = blur(b)
+    var_a = blur(a * a) - mu_a * mu_a
+    var_b = blur(b * b) - mu_b * mu_b
+    cov = blur(a * b) - mu_a * mu_b
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)
+         / ((mu_a * mu_a + mu_b * mu_b + c1) * (var_a + var_b + c2)))
+    return jnp.mean(s)
+
+
 def photometric_loss(raw: RawParams, cameras: Camera, targets: jax.Array,
                      config: RenderConfig, l1_weight: float = 0.2,
-                     chunk: int = 16) -> jax.Array:
-    """Mean L2 + ``l1_weight``·L1 over a batch of views.
+                     chunk: int = 16, *, dssim_weight: float = 0.0,
+                     method: str = "dense") -> jax.Array:
+    """Mean L2 + ``l1_weight``·L1 (+ ``dssim_weight``·(1−SSIM)) over a
+    batch of views.
 
     ``cameras`` carries a leading view axis on its traced leaves
     (``orbit_trajectory`` shape); ``targets`` is (V, H, W, C) matching the
-    renderer's output channel count.  The L1 term is the standard 3DGS
-    robustness ingredient (the full recipe uses L1 + D-SSIM; SSIM is a
-    windowed conv — cheap on TPU but out of scope for the building block).
+    renderer's output channel count.  The L1 and D-SSIM terms are the
+    standard 3DGS recipe (loss = (1−λ)L1 + λ·D-SSIM with λ=0.2); the L2
+    default keeps the round-3 behavior, opt into the full recipe with
+    ``l1_weight``/``dssim_weight``.
+
+    method: 'dense' (exact autodiff; O(N·H·W) — small/medium scenes) or
+    'tiled' (the production pipeline's custom VJP, render/diff.py —
+    production-scale scenes).
     """
     scene = raw.to_scene()
 
-    def one_view(camera, target):
-        img = render_dense(scene, camera, config, chunk=chunk)
-        err = img - target
-        return jnp.mean(err * err) + l1_weight * jnp.mean(jnp.abs(err))
+    def render_one(camera):
+        if method == "tiled":
+            from splat_tpu.render.diff import render_tiled_diff
+            return render_tiled_diff(scene, camera, config)
+        return render_dense(scene, camera, config, chunk=chunk)
 
-    losses = jax.vmap(one_view)(cameras, targets)
+    def one_view(camera, target):
+        img = render_one(camera)
+        err = img - target
+        loss = jnp.mean(err * err) + l1_weight * jnp.mean(jnp.abs(err))
+        if dssim_weight:
+            loss = loss + dssim_weight * (1.0 - ssim(img, target))
+        return loss
+
+    if method == "tiled":
+        # vmap over a Pallas custom-vjp pair is not batchable; a lax.map
+        # keeps one compiled instance and loops views sequentially.
+        cams_and_targets = (cameras, targets)
+        losses = jax.lax.map(
+            lambda ct: one_view(ct[0], ct[1]), cams_and_targets)
+    else:
+        losses = jax.vmap(one_view)(cameras, targets)
     return jnp.mean(losses)
 
 
@@ -137,6 +204,7 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
         lr_scales: dict | None = None,
         config: RenderConfig | None = None,
         l1_weight: float = 0.2, chunk: int = 16,
+        dssim_weight: float = 0.0, method: str = "dense",
         loss_fn: Callable | None = None) -> FitResult:
     """Fit ``scene`` to ``targets`` rendered from ``cameras``.
 
@@ -162,7 +230,9 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
     raw = RawParams.from_scene(scene)
     if loss_fn is None:
         loss_fn = lambda r: photometric_loss(r, cameras, targets, config,
-                                             l1_weight, chunk)
+                                             l1_weight, chunk,
+                                             dssim_weight=dssim_weight,
+                                             method=method)
 
     label_tree = RawParams(means="means", quats="quats",
                            log_scales="log_scales",
