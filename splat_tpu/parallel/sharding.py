@@ -291,6 +291,10 @@ def render_sharded_tiled(scene, camera: Camera, mesh: Mesh,
     h_local = h // n_g
     interpret = jax.default_backend() == "cpu"
     route = _resolve_route(route, n_g)
+    if route == "a2a" and slab_cap_factor is None:
+        # spatially-ordered scenes break the default cap's i.i.d.
+        # assumption; detect and raise it (see _auto_cap_factor)
+        slab_cap_factor = _auto_cap_factor(scene, n_g)
 
     def fn(scene_local, cam):
         proj_local = project_gaussians(scene_local, cam, config)
@@ -343,6 +347,8 @@ def render_batch_sharded_tiled(scene, cameras: Camera, mesh: Mesh,
     h_local = h // n_g
     interpret = jax.default_backend() == "cpu"
     route = _resolve_route(route, n_g)
+    if route == "a2a" and slab_cap_factor is None:
+        slab_cap_factor = _auto_cap_factor(scene, n_g)
 
     def fn(scene_local, cams_local):
         g_idx = jax.lax.axis_index("g")
@@ -413,6 +419,82 @@ def _empty_frame(h: int, w: int, config: RenderConfig):
         bgc = bgc + (0.0,)
     return jnp.broadcast_to(jnp.asarray(bgc, jnp.float32),
                             (h, w, len(bgc))).astype(jnp.float32)
+
+
+def shard_spatial_score(scene, n_g: int) -> float:
+    """How i.i.d. the scene's storage order is across ``n_g`` contiguous
+    shards: the median fraction of the scene's bounding volume each
+    shard's own bbox covers.
+
+    ~1.0: every shard spans the whole scene (random order — the a2a slab
+    routing's default per-(src, dst) cap holds).  << 1: the scene is
+    stored in SPATIAL order (common in pretrained .ply exports: a
+    y-sorted or octree-ordered export scores ~(1/n_g) or ~(1/2)^3), so
+    one shard's records can all land in one destination slab and
+    overflow the default cap (measured on the surface fixture,
+    ARCHITECTURE.md §Multi-chip).
+
+    Host-side, O(N): call on host scenes (before ``to_device``; on
+    remote-attached TPUs fetching raw device buffers is pathologically
+    slow — CLAUDE.md rule 4).
+    """
+    if hasattr(scene, "mx"):  # feature-major DeviceScene
+        means = np.stack([np.asarray(scene.mx), np.asarray(scene.my),
+                          np.asarray(scene.mz)], axis=1)
+    else:
+        means = np.asarray(scene.means)
+    n = means.shape[0]
+    if n < 2 * n_g:
+        return 1.0
+    ext = means.max(axis=0) - means.min(axis=0) + 1e-12
+    fracs = [
+        float(np.prod(np.clip(
+            (shard.max(axis=0) - shard.min(axis=0)) / ext, 1e-6, 1.0)))
+        for shard in np.array_split(means, n_g)
+    ]
+    return float(np.median(fracs))
+
+
+# Below this score a scene is treated as spatially ordered.  A random
+# order scores ~0.9+ (each shard's coordinate ranges nearly span the
+# scene); y-sorted scores ~1/n_g and octree-ordered ~(1/2)^3 ~ 0.125.
+_SPATIAL_SCORE_THRESHOLD = 0.35
+
+
+def _auto_cap_factor(scene, n_g: int) -> float:
+    """Slab-cap factor for route='a2a' when the caller didn't pin one:
+    the measured default ``min(1, 4/n_g)`` for i.i.d.-ordered scenes,
+    raised toward 1.0 (= replication-equivalent traffic, can never
+    rout-overflow) when the host-side spatial score says the shards are
+    clustered.  Detection is best-effort: if the scene's leaves are not
+    host-reachable the default stands (the overflow count still
+    surfaces any truncation — nothing is ever silent)."""
+    default = min(1.0, 4.0 / n_g)
+    try:
+        score = shard_spatial_score(scene, n_g)
+    except Exception:
+        return default
+    if score < _SPATIAL_SCORE_THRESHOLD:
+        return min(1.0, max(default, default / max(score, 1e-3)))
+    return default
+
+
+def prepare_scene_for_sharding(scene, n_g: int, *, seed: int = 0,
+                               threshold: float = _SPATIAL_SCORE_THRESHOLD):
+    """De-cluster a spatially-ordered host scene before sharding.
+
+    Returns ``(scene, permuted)``: when the spatial score is below
+    ``threshold`` the gaussians are randomly permuted
+    (:meth:`GaussianScene.permuted` — rendering is order-independent,
+    the a2a routing's capacity assumption is restored), otherwise the
+    scene passes through untouched.  Cheaper at scale than the
+    :func:`_auto_cap_factor` fallback (which raises traffic toward
+    replication instead of fixing the distribution).
+    """
+    score = shard_spatial_score(scene, n_g)
+    if score < threshold:
+        return scene.permuted(seed), True
+    return scene, False
 
 
 def _raise_on_overflow(overflow: int) -> None:

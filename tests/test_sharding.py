@@ -222,3 +222,59 @@ def test_render_sharded_tiled_depth_key():
         p = psnr(imgs[route], want)
         assert p >= 45.0, f"depth-key sharded[{route}] PSNR {p:.2f} dB"
     np.testing.assert_allclose(imgs["a2a"], imgs["gather"], atol=1e-5)
+
+
+def test_spatial_score_detects_sorted_order():
+    from splat_tpu.parallel.sharding import shard_spatial_score
+    rng_scene = random_scene(2048, seed=5, extent=2.0,
+                             scale_range=(0.02, 0.06))
+    assert shard_spatial_score(rng_scene, 8) > 0.6
+    order = np.argsort(np.asarray(rng_scene.means)[:, 1])
+    sorted_scene = jax.tree.map(lambda a: np.asarray(a)[order], rng_scene)
+    assert shard_spatial_score(sorted_scene, 8) < 0.3
+
+
+def test_a2a_sorted_scene_auto_cap_no_overflow():
+    """Round-3 weakness: a spatially-SORTED scene overflowed the a2a
+    slab cap unless the caller manually called scene.permuted().  The
+    auto cap factor must make it pass out of the box."""
+    from splat_tpu.parallel.sharding import render_sharded_tiled
+    # big enough that the per-chip cap (floor 128 slots) binds:
+    # n_local = 256, fixed cap = 128 < n_local
+    scene = random_scene(2048, seed=23, extent=2.0,
+                         scale_range=(0.02, 0.08))
+    order = np.argsort(np.asarray(scene.means)[:, 1])
+    scene = jax.tree.map(lambda a: np.asarray(a)[order], scene)
+    cam = Camera.create(h=64, w=64, position=(0.0, 0.0, 4.0))
+    config = RenderConfig(chunk=128)
+    mesh = make_mesh(n_data=1, n_gaussian=8)
+    # the old fixed default cap min(1, 4/8) = 0.5 truncates this scene
+    _, ov_fixed = render_sharded_tiled(scene, cam, mesh, config,
+                                       route="a2a", slab_cap_factor=0.5)
+    assert int(ov_fixed) > 0
+    # auto detection (slab_cap_factor=None) raises the cap and passes
+    got, ov_auto = render_sharded_tiled(scene, cam, mesh, config,
+                                        route="a2a")
+    assert int(ov_auto) == 0
+    want = np.asarray(render_dense(scene, cam, config))
+    p = psnr(np.asarray(got), want)
+    assert p >= 45.0, f"auto-cap a2a vs dense PSNR {p:.2f} dB"
+
+
+def test_prepare_scene_for_sharding_permutes_when_clustered():
+    from splat_tpu.parallel.sharding import (prepare_scene_for_sharding,
+                                             shard_spatial_score)
+    scene = random_scene(1024, seed=9, extent=2.0,
+                         scale_range=(0.02, 0.06))
+    order = np.argsort(np.asarray(scene.means)[:, 1])
+    sorted_scene = jax.tree.map(lambda a: np.asarray(a)[order], scene)
+    from splat_tpu.scene import GaussianScene
+    sorted_scene = GaussianScene(**{
+        k: np.asarray(getattr(sorted_scene, k))
+        for k in ("means", "quats", "scales", "opacities", "sh")})
+    prepped, permuted = prepare_scene_for_sharding(sorted_scene, 8)
+    assert permuted
+    assert shard_spatial_score(prepped, 8) > 0.6
+    same, permuted2 = prepare_scene_for_sharding(scene, 8)
+    assert not permuted2
+    assert same is scene
