@@ -339,7 +339,8 @@ def cmd_serve(args) -> int:
     scene = _load(args)
     cam = _camera(args)
     serve(scene, cam, _config(args, scene, cam), host=args.host, port=args.port,
-          method=args.method, png_level=args.png_level)
+          method=args.method, png_level=args.png_level,
+          transport=args.transport)
     return 0
 
 
@@ -394,6 +395,11 @@ def main(argv=None) -> int:
                    help="zlib level for served frames (0 = stored blocks: "
                         "~17 ms/1080p frame vs ~340 ms at level 3, ~3x "
                         "bytes; raise for remote viewing on thin links)")
+    p.add_argument("--transport", choices=["raw", "png"], default="raw",
+                   help="initial frame transport ('T' toggles in the "
+                        "browser): raw RGBA into a canvas (zero "
+                        "encode/decode; localhost default) or PNG at "
+                        "--png-level (thin links)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="device-chained frame timing")

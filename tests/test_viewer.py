@@ -71,6 +71,19 @@ def test_viewer_serves_page_and_frames(tmp_path):
         assert np.abs(dimg[..., 0].astype(int)
                       - dimg[..., 1].astype(int)).max() <= 1
 
+        # raw RGBA transport: exact byte count, headers carry dimensions
+        r = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/frame.raw?yaw=0&pitch=0&dist=1",
+            timeout=120)
+        raw = r.read()
+        assert int(r.headers["X-Splat-W"]) == 64
+        assert int(r.headers["X-Splat-H"]) == 48
+        assert len(raw) == 48 * 64 * 4
+        rgba = np.frombuffer(raw, np.uint8).reshape(48, 64, 4)
+        assert (rgba[..., 3] == 255).all()
+        # same pose, same pixels as the PNG transport
+        np.testing.assert_array_equal(rgba[..., :3], img)
+
         code = urllib.request.urlopen(
             f"http://127.0.0.1:{port}/nope", timeout=30).getcode()
     except urllib.error.HTTPError as e:
