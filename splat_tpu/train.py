@@ -197,6 +197,117 @@ class FitResult:
     raw: RawParams              # fitted raw parameters
     losses: jax.Array           # (steps,) loss history
     final_loss: float
+    densify_log: tuple = ()     # per-round dicts when densification ran
+
+
+def _np_quat_rotmat(q):
+    """(N, 4) scalar-first quaternions -> (N, 3, 3) rotations (NumPy)."""
+    import numpy as np
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return np.stack([
+        np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                  2 * (x * z + w * y)], -1),
+        np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                  2 * (y * z - w * x)], -1),
+        np.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                  1 - 2 * (x * x + y * y)], -1),
+    ], axis=1)
+
+
+def densify_and_prune(raw: RawParams, grad_mean, *,
+                      grad_threshold: float = 5e-5,
+                      split_scale_threshold: float | None = None,
+                      min_opacity: float = 0.005,
+                      split_factor: float = 1.6,
+                      max_gaussians: int | None = None,
+                      pad_multiple: int = 256,
+                      seed: int = 0) -> tuple[RawParams, dict]:
+    """Adaptive density control (the INRIA 3DGS recipe, host-side).
+
+    Per densification round: splats whose accumulated mean positional
+    gradient exceeds ``grad_threshold`` are under-reconstructing —
+    CLONE the small ones (max world scale below
+    ``split_scale_threshold``; default 1% of the scene extent) and
+    SPLIT the large ones into two samples drawn from the gaussian with
+    scales shrunk by ``split_factor``.  Splats with opacity below
+    ``min_opacity`` are PRUNED.  (The reference renders pretrained
+    models only; this is the training-side capability its ecosystem's
+    models were made with.  Criterion deviation, documented: the
+    original thresholds view-space NDC gradients per densify interval;
+    here the world-space mean-gradient norm plays that role — same
+    signal up to the projection scale.)
+
+    TPU-first shape discipline: the result is padded up to a multiple
+    of ``pad_multiple`` with DEAD splats (opacity ~3e-7 — culled by
+    visibility, zero gradients, one sentinel binning slot each), so
+    repeated rounds hit a few bucketed compile shapes instead of one
+    per round; the persistent compilation cache makes revisited buckets
+    free.  Runs on the host (NumPy): topology changes are control
+    decisions, not device math.
+    """
+    import numpy as np
+
+    d = {k: np.asarray(getattr(raw, k))
+         for k in ("means", "quats", "log_scales", "logit_opacities",
+                   "sh")}
+    g = np.asarray(grad_mean)
+    opac = 1.0 / (1.0 + np.exp(-d["logit_opacities"]))
+    scales = np.exp(d["log_scales"])
+    alive = opac > min_opacity
+    if split_scale_threshold is None:
+        live_means = d["means"][alive] if alive.any() else d["means"]
+        extent = float(np.linalg.norm(
+            live_means.max(0) - live_means.min(0))) if len(live_means) \
+            else 1.0
+        split_scale_threshold = 0.01 * max(extent, 1e-6)
+
+    needs = alive & (g > grad_threshold)
+    big = scales.max(axis=1) > split_scale_threshold
+    clone_idx = np.flatnonzero(needs & ~big)
+    split_idx = np.flatnonzero(needs & big)
+    keep_idx = np.flatnonzero(alive & ~np.isin(
+        np.arange(len(alive)), split_idx))
+
+    parts = {k: [v[keep_idx], v[clone_idx]] for k, v in d.items()}
+    if len(split_idx):
+        rng = np.random.default_rng(seed)
+        rot = _np_quat_rotmat(d["quats"][split_idx])         # (S, 3, 3)
+        for _ in range(2):
+            eps = rng.normal(size=(len(split_idx), 3)).astype(np.float32)
+            offset = np.einsum("nij,nj->ni", rot,
+                               scales[split_idx] * eps)
+            for k, v in d.items():
+                if k == "means":
+                    parts[k].append(v[split_idx] + offset)
+                elif k == "log_scales":
+                    parts[k].append(v[split_idx]
+                                    - np.log(split_factor))
+                else:
+                    parts[k].append(v[split_idx])
+    new = {k: np.concatenate(v, axis=0) for k, v in parts.items()}
+    n = len(new["means"])
+    if max_gaussians is not None and n > max_gaussians:
+        op_new = 1.0 / (1.0 + np.exp(-new["logit_opacities"]))
+        order = np.argsort(-op_new)[:max_gaussians]
+        new = {k: v[order] for k, v in new.items()}
+        n = max_gaussians
+    n_pad = (-n) % pad_multiple
+    if n_pad:
+        dead = {
+            "means": np.zeros((n_pad, 3), np.float32),
+            "quats": np.tile(np.array([[1, 0, 0, 0]], np.float32),
+                             (n_pad, 1)),
+            "log_scales": np.full((n_pad, 3), -12.0, np.float32),
+            "logit_opacities": np.full((n_pad,), -15.0, np.float32),
+            "sh": np.zeros((n_pad, 16, 3), np.float32),
+        }
+        new = {k: np.concatenate([v, dead[k]], axis=0)
+               for k, v in new.items()}
+    stats = {"kept": len(keep_idx), "cloned": len(clone_idx),
+             "split": len(split_idx), "pruned": int((~alive).sum()),
+             "padded": n_pad, "n": n + n_pad}
+    return RawParams(**{k: jnp.asarray(v) for k, v in new.items()}), stats
 
 
 def fit(scene: GaussianScene, cameras: Camera, targets,
@@ -205,6 +316,7 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
         config: RenderConfig | None = None,
         l1_weight: float = 0.2, chunk: int = 16,
         dssim_weight: float = 0.0, method: str = "dense",
+        densify_every: int = 0, densify_kwargs: dict | None = None,
         loss_fn: Callable | None = None) -> FitResult:
     """Fit ``scene`` to ``targets`` rendered from ``cameras``.
 
@@ -214,11 +326,19 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
       targets: (V, H, W, C) float32 ground-truth images in [0, 1].
       steps: optimizer steps; each step sees ALL views (full-batch).
       lr: base adam learning rate, scaled per-leaf by ``lr_scales``.
+      densify_every: when > 0, run :func:`densify_and_prune` every that
+        many steps (mean positional-gradient norms are accumulated per
+        segment; the optimizer state re-initializes after a topology
+        change, as in the original recipe).  Segment boundaries change
+        the gaussian count, so each visited padded shape compiles once
+        (bucketed by densify_and_prune's pad_multiple; the persistent
+        cache remembers buckets across runs).
       loss_fn: optional ``loss_fn(raw) -> scalar`` override; default is
         :func:`photometric_loss` over all views.
 
     Returns a :class:`FitResult`; ``losses[0]`` is the pre-step loss so
-    ``losses[0] / final_loss`` measures convergence.
+    ``losses[0] / final_loss`` measures convergence, and
+    ``densify_log`` records each round's clone/split/prune counts.
     """
     import optax
 
@@ -239,21 +359,44 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
                            logit_opacities="logit_opacities", sh="sh")
     opt = optax.multi_transform(
         {k: optax.adam(lr * s) for k, s in scales.items()}, label_tree)
+
+    @partial(jax.jit, static_argnames=("length",))
+    def run_segment(raw, opt_state, length):
+        def body(carry, _):
+            raw, opt_state, gsum = carry
+            loss, grads = jax.value_and_grad(loss_fn)(raw)
+            gnorm = jnp.linalg.norm(grads.means, axis=1)
+            updates, opt_state = opt.update(grads, opt_state)
+            raw = optax.apply_updates(raw, updates)
+            return (raw, opt_state, gsum + gnorm), loss
+
+        gsum0 = jnp.zeros(raw.means.shape[0], jnp.float32)
+        (raw, opt_state, gsum), losses = jax.lax.scan(
+            body, (raw, opt_state, gsum0), None, length=length)
+        return raw, opt_state, gsum, losses
+
+    if densify_every and densify_every > 0:
+        seg_lengths = [densify_every] * (steps // densify_every)
+        if steps % densify_every:
+            seg_lengths.append(steps % densify_every)
+    else:
+        seg_lengths = [steps]
+
+    all_losses = []
+    densify_log = []
     opt_state = opt.init(raw)
+    for i, seg in enumerate(seg_lengths):
+        raw, opt_state, gsum, losses = run_segment(raw, opt_state,
+                                                   length=seg)
+        all_losses.append(losses)
+        if densify_every and i < len(seg_lengths) - 1:
+            raw, stats = densify_and_prune(
+                raw, jnp.asarray(gsum) / seg,
+                **(densify_kwargs or {}))
+            densify_log.append(stats)
+            opt_state = opt.init(raw)  # topology changed
 
-    @jax.jit
-    def step(raw, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(raw)
-        updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(raw, updates), opt_state, loss
-
-    def body(carry, _):
-        raw, opt_state = carry
-        raw2, opt_state2, loss = step(raw, opt_state)
-        return (raw2, opt_state2), loss
-
-    (raw, _), losses = jax.lax.scan(body, (raw, opt_state), None,
-                                    length=steps)
+    losses = jnp.concatenate(all_losses)
     final = float(losses[-1])
     return FitResult(scene=raw.to_scene(), raw=raw, losses=losses,
-                     final_loss=final)
+                     final_loss=final, densify_log=tuple(densify_log))

@@ -212,3 +212,63 @@ def test_fit_tiled_converges():
     result = fit(start, cams, target, steps=15, lr=2e-2, config=config,
                  method="tiled")
     assert float(result.losses[-1]) < float(result.losses[0]) * 0.5
+
+
+def test_densify_and_prune_mechanics():
+    from splat_tpu.train import RawParams, densify_and_prune
+    import jax.numpy as jnp
+    n = 8
+    raw = RawParams(
+        means=jnp.zeros((n, 3)),
+        quats=jnp.tile(jnp.asarray([[1., 0., 0., 0.]]), (n, 1)),
+        # splats 0-3 small, 4-5 big, 6-7 whatever
+        log_scales=jnp.log(jnp.asarray(
+            [[0.001]*3]*4 + [[0.5]*3]*2 + [[0.01]*3]*2)),
+        # splat 7 is transparent -> pruned
+        logit_opacities=jnp.asarray([2.0]*7 + [-12.0]),
+        sh=jnp.zeros((n, 16, 3)))
+    # high grads on 0 (small -> clone) and 4 (big -> split); others low
+    g = jnp.asarray([1.0, 0., 0., 0., 1.0, 0., 0., 1.0])
+    new, stats = densify_and_prune(raw, g, grad_threshold=0.5,
+                                   split_scale_threshold=0.1,
+                                   pad_multiple=4)
+    assert stats["cloned"] == 1       # splat 0
+    assert stats["split"] == 1        # splat 4 -> two children
+    assert stats["pruned"] == 1       # splat 7 (high grad but dead)
+    # kept 6 (7 alive minus split parent) + 1 clone + 2 children = 9
+    assert stats["n"] - stats["padded"] == 9
+    assert new.means.shape[0] % 4 == 0
+    # split children carry shrunken scales (0.5/1.6); the only remaining
+    # 0.5-scale splat is the low-grad big one that was NOT split
+    sc = np.exp(np.asarray(new.log_scales))
+    big_left = np.isclose(sc.max(axis=1), 0.5, rtol=1e-4).sum()
+    children = np.isclose(sc.max(axis=1), 0.5 / 1.6, rtol=1e-4).sum()
+    assert big_left == 1 and children == 2
+    # padding splats are dead (culled by visibility)
+    op = 1/(1+np.exp(-np.asarray(new.logit_opacities)))
+    assert (op[9:] < 1e-5).all()
+
+
+def test_fit_with_densification_grows_and_converges():
+    """Under-provisioned init + densification: the count grows and the
+    loss beats the same budget without densification."""
+    truth = _device_scene(random_scene(64, seed=11, extent=0.8,
+                                       scale_range=(0.05, 0.12)))
+    cams = orbit_trajectory(Camera.create(h=24, w=24,
+                                          position=(0.0, 0.0, 3.0)),
+                            num_frames=2, yaw_sweep=0.4)
+    config = RenderConfig(sh_degree=0)
+    targets = jax.vmap(lambda c: render_dense(truth, c, config))(cams)
+    # start from a sparse subset: too few splats to reconstruct
+    start = jax.tree.map(lambda a: np.asarray(a)[:16], truth)
+    from splat_tpu.scene import GaussianScene
+    start = GaussianScene(**{k: np.asarray(getattr(start, k))
+                             for k in ("means", "quats", "scales",
+                                       "opacities", "sh")})
+    res_d = fit(start, cams, targets, steps=30, lr=2e-2, config=config,
+                densify_every=10,
+                densify_kwargs=dict(grad_threshold=1e-4,
+                                    pad_multiple=16))
+    assert res_d.densify_log, "densification never ran"
+    assert res_d.raw.means.shape[0] > 16
+    assert float(res_d.losses[-1]) < float(res_d.losses[0])
