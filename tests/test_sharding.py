@@ -151,11 +151,15 @@ def test_a2a_uneven_slab_loads_cap_binds():
     cam = Camera.create(h=128, w=128, position=(0.0, 0.0, 4.0))
     mesh = make_mesh(n_data=1, n_gaussian=8)
     config = RenderConfig(chunk=128)
+    # pin the EXPLICIT old default cap: since round 4 the no-argument
+    # path auto-detects the spatial order and raises the cap
+    # (test_a2a_sorted_scene_auto_cap_no_overflow covers that), so the
+    # binding-cap failure mode needs the factor pinned explicitly
     img_a2a, ov = render_sharded_tiled(scene, cam, mesh, config,
-                                       route="a2a")
+                                       route="a2a", slab_cap_factor=0.5)
     assert int(ov) > 0  # clustered shards overflow the min(1,4/8) cap
     _, ov_p = render_sharded_tiled(scene.permuted(), cam, mesh, config,
-                                   route="a2a")
+                                   route="a2a", slab_cap_factor=0.5)
     assert int(ov_p) < int(ov)
     img_gather, ov_g = render_sharded_tiled(scene, cam, mesh, config,
                                             route="gather")
