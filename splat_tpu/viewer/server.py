@@ -31,13 +31,19 @@ _PAGE = """<!doctype html>
 <script>
 let yaw = 0, pitch = 0, dist = 1.0, busy = false, dirty = true, t0 = 0;
 let mode = '__MODE__', transport = '__TRANSPORT__';
+const SCALES = [0.5, 1.0, 2.0];   // live resolution ladder ('-'/'+')
+let scaleIdx = 1;
 const hud = document.getElementById('hud');
 const cv = document.getElementById('view');
 const ctx = cv.getContext('2d');
+function fit(w, h) {
+  if (cv.width !== w || cv.height !== h) { cv.width = w; cv.height = h; }
+}
 async function tick() {
   if (dirty && !busy) {
     busy = true; dirty = false; t0 = performance.now();
-    const q = `yaw=${yaw}&pitch=${pitch}&dist=${dist}&mode=${mode}&t=${Date.now()}`;
+    const q = `yaw=${yaw}&pitch=${pitch}&dist=${dist}&mode=${mode}` +
+              `&scale=${SCALES[scaleIdx]}&t=${Date.now()}`;
     let overflow = 0;
     try {
       if (transport === 'raw') {
@@ -48,19 +54,21 @@ async function tick() {
         const w = parseInt(r.headers.get('X-Splat-W'));
         const h = parseInt(r.headers.get('X-Splat-H'));
         const buf = new Uint8ClampedArray(await r.arrayBuffer());
+        fit(w, h);
         ctx.putImageData(new ImageData(buf, w, h), 0, 0);
       } else {
         const r = await fetch('/frame.png?' + q);
         overflow = parseInt(r.headers.get('X-Splat-Overflow') || '0');
         const bmp = await createImageBitmap(await r.blob());
+        fit(bmp.width, bmp.height);
         ctx.drawImage(bmp, 0, 0);
       }
     } catch (e) {}
     const ms = (performance.now() - t0).toFixed(0);
     hud.textContent =
       `yaw ${(yaw*180/Math.PI).toFixed(1)}°  pitch ${(pitch*180/Math.PI).toFixed(1)}°` +
-      `  dist x${dist.toFixed(2)}  mode ${mode}  ${transport}  pose→pixels ${ms} ms\\n` +
-      `arrows: orbit (±10°)   drag: orbit   wheel: dolly   R: reset   M: color/depth   T: transport` +
+      `  dist x${dist.toFixed(2)}  ${cv.width}x${cv.height}  mode ${mode}  ${transport}  pose→pixels ${ms} ms\\n` +
+      `arrows: orbit (±10°)   drag: orbit   wheel: dolly   R: reset   M: color/depth   T: transport   -/+: resolution` +
       (overflow > 0 ? `\\nWARNING: ${overflow} pairs dropped — ` +
                       `frame truncated; restart with a larger --dup-factor`
                     : '');
@@ -80,6 +88,12 @@ addEventListener('keydown', e => {
   }
   if (e.key === 't' || e.key === 'T') {
     transport = (transport === 'raw') ? 'png' : 'raw'; dirty = true;
+  }
+  if (e.key === '-' || e.key === '_') {
+    scaleIdx = Math.max(0, scaleIdx - 1); dirty = true;
+  }
+  if (e.key === '+' || e.key === '=') {
+    scaleIdx = Math.min(SCALES.length - 1, scaleIdx + 1); dirty = true;
   }
 });
 let dragging = false, lx = 0, ly = 0;
@@ -134,20 +148,28 @@ def serve(scene, camera, config=None, *, host: str = "127.0.0.1",
     # Render functions are built lazily per render mode: the browser's 'M'
     # key toggles color/depth live (one extra compile on first toggle).
     m = resolve_method(method, scene)
-    fns: dict[str, object] = {}
+    fns: dict[tuple, object] = {}
+    # Live resolution ladder ('-'/'+' in the browser): h/w are static
+    # pytree metadata (a resize is a new compiled pipeline — PARITY.md
+    # row 7's deliberate TPU-first trade), so the viewer exposes a small
+    # FIXED set of scales, each compiled once on first use and remembered
+    # by the persistent compilation cache across restarts.  This covers
+    # the reference's Camera::update_resolution (src/camera.rs:76-82).
+    _SCALES = (0.5, 1.0, 2.0)
 
-    def get_fn(mode: str):
-        if mode not in fns:
+    def get_fn(mode: str, scale: float):
+        key = (mode, scale)
+        if key not in fns:
             cfg = dataclasses.replace(config, render_mode=mode)
             if m == "tiled":
                 from splat_tpu.render.tiled import render_tiled
 
-                fns[mode] = jax.jit(
+                fns[key] = jax.jit(
                     lambda s, c: render_tiled(s, c, cfg, return_stats=True))
             else:
                 f_plain = render_fn(m, cfg)
-                fns[mode] = lambda s, c: (f_plain(s, c), None)
-        return fns[mode]
+                fns[key] = lambda s, c: (f_plain(s, c), None)
+        return fns[key]
 
     scene = scene.pack_device()
     lock = threading.Lock()
@@ -155,12 +177,17 @@ def serve(scene, camera, config=None, *, host: str = "127.0.0.1",
     target = np.asarray(jax.device_get(camera.target))
 
     def render_pose(yaw: float, pitch: float, dist: float,
-                    mode: str) -> tuple[np.ndarray, int]:
+                    mode: str, scale: float) -> tuple[np.ndarray, int]:
+        scale = min(_SCALES, key=lambda s: abs(s - scale))
         cam = camera.with_pose(
             yaw=yaw, pitch=pitch,
             position=target + (base_pos - target) * dist)
+        if scale != 1.0:
+            cam = dataclasses.replace(
+                cam, h=max(8, int(camera.h * scale) & ~1),
+                w=max(8, int(camera.w * scale) & ~1))
         with lock:
-            img, stats = get_fn(mode)(scene, cam)
+            img, stats = get_fn(mode, scale)(scene, cam)
             overflow = int(stats["overflow"]) if stats is not None else 0
             img = np.asarray(img)
         return img, overflow
@@ -210,7 +237,7 @@ def serve(scene, camera, config=None, *, host: str = "127.0.0.1",
                 try:
                     img, overflow = render_pose(
                         get("yaw", 0.0), get("pitch", 0.0),
-                        get("dist", 1.0), mode)
+                        get("dist", 1.0), mode, get("scale", 1.0))
                     if u.path == "/frame.raw":
                         body = to_rgba_u8(img)
                         ctype = "application/octet-stream"

@@ -84,6 +84,15 @@ def test_viewer_serves_page_and_frames(tmp_path):
         # same pose, same pixels as the PNG transport
         np.testing.assert_array_equal(rgba[..., :3], img)
 
+        # live resolution ladder: scale=0.5 renders at half size
+        r = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/frame.raw?yaw=0&pitch=0&dist=1"
+            f"&scale=0.5", timeout=120)
+        half = r.read()
+        assert int(r.headers["X-Splat-W"]) == 32
+        assert int(r.headers["X-Splat-H"]) == 24
+        assert len(half) == 24 * 32 * 4
+
         code = urllib.request.urlopen(
             f"http://127.0.0.1:{port}/nope", timeout=30).getcode()
     except urllib.error.HTTPError as e:
