@@ -191,6 +191,33 @@ DEFAULT_LR_SCALES = {
 }
 
 
+def _check_tiled_capacity(scene, cameras, config: RenderConfig) -> None:
+    """A silently-truncated TRAINING forward would bias every gradient;
+    render_tiled_diff is jit-traced and cannot host-sync an overflow
+    check per step, so fit() audits the capacity ONCE up front: the
+    measured slot demand at every training pose must fit
+    ``max_dup_factor`` (with a 5% margin for pose drift during the
+    fit — splats move, footprints change).  Same no-silent-truncation
+    contract as every public render path (config.py)."""
+    from splat_tpu.render.api import pair_stats
+
+    n_views = jnp.asarray(cameras.position).shape[0]
+    n = max(scene.num_gaussians, 1)
+    worst = 0
+    for i in range(n_views):
+        cam = jax.tree.map(lambda a: a[i], cameras,
+                           is_leaf=lambda a: hasattr(a, "shape"))
+        worst = max(worst, pair_stats(scene, cam, config)["slots"])
+    if config.max_dup_factor * n < worst * 1.05:
+        raise ValueError(
+            f"fit(method='tiled'): max_dup_factor={config.max_dup_factor} "
+            f"gives {int(config.max_dup_factor * n)} pair slots but the "
+            f"training poses need up to {worst} (+5% margin) — a "
+            f"truncated forward would silently bias every gradient; "
+            f"raise RenderConfig.max_dup_factor to at least "
+            f"{worst * 1.05 / n:.2f}")
+
+
 @dataclasses.dataclass(frozen=True)
 class FitResult:
     scene: GaussianScene        # fitted scene (activated)
@@ -317,7 +344,7 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
         l1_weight: float = 0.2, chunk: int = 16,
         dssim_weight: float = 0.0, method: str = "dense",
         densify_every: int = 0, densify_kwargs: dict | None = None,
-        loss_fn: Callable | None = None) -> FitResult:
+        mesh=None, loss_fn: Callable | None = None) -> FitResult:
     """Fit ``scene`` to ``targets`` rendered from ``cameras``.
 
     Args:
@@ -326,6 +353,13 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
       targets: (V, H, W, C) float32 ground-truth images in [0, 1].
       steps: optimizer steps; each step sees ALL views (full-batch).
       lr: base adam learning rate, scaled per-leaf by ``lr_scales``.
+      mesh: optional ``jax.sharding.Mesh`` with a ``"d"`` axis —
+        DATA-PARALLEL training: the views (cameras/targets leading axis,
+        which must divide the axis size) shard across chips, each chip
+        computes its shard's loss, and the gradient psum rides the
+        shard_map transpose automatically (scene parameters are
+        replicated).  The multi-chip training counterpart of
+        parallel/sharding.py's inference DP axis.
       densify_every: when > 0, run :func:`densify_and_prune` every that
         many steps (mean positional-gradient norms are accumulated per
         segment; the optimizer state re-initializes after a topology
@@ -349,10 +383,35 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
 
     raw = RawParams.from_scene(scene)
     if loss_fn is None:
-        loss_fn = lambda r: photometric_loss(r, cameras, targets, config,
-                                             l1_weight, chunk,
-                                             dssim_weight=dssim_weight,
-                                             method=method)
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            n_d = mesh.shape["d"]
+            n_views = jnp.asarray(cameras.position).shape[0]
+            if n_views % n_d:
+                raise ValueError(f"{n_views} views not divisible by "
+                                 f"mesh 'd' axis {n_d}")
+            cam_specs = jax.tree.map(lambda _: P("d"), cameras)
+
+            def shard_loss(r, cams_l, targets_l):
+                l = photometric_loss(r, cams_l, targets_l, config,
+                                     l1_weight, chunk,
+                                     dssim_weight=dssim_weight,
+                                     method=method)
+                return jax.lax.pmean(l, "d")
+
+            mapped = jax.shard_map(
+                shard_loss, mesh=mesh,
+                in_specs=(jax.tree.map(lambda _: P(), raw), cam_specs,
+                          P("d")),
+                out_specs=P(), check_vma=False)
+            loss_fn = lambda r: mapped(r, cameras, targets)
+        else:
+            loss_fn = lambda r: photometric_loss(
+                r, cameras, targets, config, l1_weight, chunk,
+                dssim_weight=dssim_weight, method=method)
+        if method == "tiled":
+            _check_tiled_capacity(scene, cameras, config)
 
     label_tree = RawParams(means="means", quats="quats",
                            log_scales="log_scales",

@@ -224,3 +224,54 @@ class TestPoseOptimization:
         err0 = abs(0.08 - 0.15)
         err1 = abs(float(yaw) - 0.15)
         assert err1 < err0 * 0.5, f"yaw {float(yaw):.4f} (target 0.15)"
+
+
+class TestHeavyOcclusion:
+    def test_gradients_survive_transmittance_underflow(self):
+        """Hundreds of stacked near-opaque splats drive T below f32
+        range mid-tile; log-space reconstruction must keep the FRONT
+        splats' gradients alive and exact (a multiplicative
+        reconstruction from T_final would zero them — CLAUDE.md
+        rule 17).  Verified against the pure-JAX replica."""
+        n = 160
+        rng = np.random.default_rng(0)
+        scene = random_scene(n, seed=2)
+        scene = jax.tree.map(jnp.asarray, scene)
+        # stack everything near the origin with high opacity
+        scene = dataclasses.replace(
+            scene,
+            means=jnp.asarray(
+                rng.normal(0, 0.05, (n, 3)).astype(np.float32)),
+            opacities=jnp.full((n,), 0.95, jnp.float32),
+            scales=jnp.full((n, 3), 0.3, jnp.float32))
+        cam = Camera.create(h=32, w=32, position=(0.0, 0.0, 3.0))
+        cfg = RenderConfig(max_dup_factor=float(2 * 32 * 32))
+        proj0 = project_gaussians(scene, cam, cfg)
+        bins0 = build_tile_bins(proj0, cam.h, cam.w, cfg, interpret=True)
+        ranks = np.asarray(bins0.ranks)
+        ts, te = np.asarray(bins0.tile_start), np.asarray(bins0.tile_end)
+
+        # transmittance genuinely underflows: 0.05^160 << f32 tiny
+        img4 = render_tiled_diff(scene, cam, dataclasses.replace(
+            cfg, alpha_channel=True))
+        assert float(jnp.min(1.0 - img4[..., 3])) == 0.0
+
+        tgt = jnp.full((32, 32, 3), 0.4)
+        loss_ref = lambda s: jnp.mean((_replica_forward(
+            s, cam, cfg, ranks, ts, te, bins0.tiles_x, bins0.tiles_y)
+            - tgt) ** 2)
+        loss_til = lambda s: jnp.mean(
+            (render_tiled_diff(s, cam, cfg) - tgt) ** 2)
+        gr = jax.grad(loss_ref)(scene)
+        gt = jax.grad(loss_til)(scene)
+        for name in ["means", "opacities", "sh"]:
+            a = np.asarray(getattr(gt, name))
+            b = np.asarray(getattr(gr, name))
+            scale = np.abs(b).max() + 1e-20
+            assert np.isfinite(a).all()
+            assert np.abs(a - b).max() / scale < 1e-3, \
+                f"{name}: rel {np.abs(a - b).max() / scale:.2e}"
+        # the FRONT splat (smallest depth) must carry real gradient
+        depth = np.asarray(project_gaussians(scene, cam, cfg).depth)
+        front = int(np.argmin(depth))
+        assert np.abs(np.asarray(gt.sh)[front]).max() > 0

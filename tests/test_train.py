@@ -272,3 +272,55 @@ def test_fit_with_densification_grows_and_converges():
     assert res_d.densify_log, "densification never ran"
     assert res_d.raw.means.shape[0] > 16
     assert float(res_d.losses[-1]) < float(res_d.losses[0])
+
+
+def test_fit_tiled_rejects_undersized_capacity():
+    """A truncated training forward would silently bias every gradient;
+    fit() audits capacity up front (config.py contract)."""
+    import pytest
+    scene = jax.tree.map(jnp.asarray, random_scene(5000, seed=4))
+    cams = orbit_trajectory(Camera.create(h=48, w=48,
+                                          position=(0.0, 0.0, 4.0)),
+                            num_frames=1)
+    targets = jnp.zeros((1, 48, 48, 3))
+    with pytest.raises(ValueError, match="max_dup_factor"):
+        fit(scene, cams, targets, steps=1, method="tiled",
+            config=RenderConfig(max_dup_factor=1.0))
+
+
+def test_fit_data_parallel_mesh_matches_single_device():
+    """mesh= shards the views over 'd'; gradients and the fit must match
+    the single-device run (scene replicated, loss pmean'd, grad psum
+    riding the shard_map transpose)."""
+    from splat_tpu.parallel.sharding import make_mesh
+    scene = _device_scene(random_scene(12, seed=6, extent=0.8,
+                                       scale_range=(0.12, 0.25)))
+    cams = orbit_trajectory(Camera.create(h=16, w=16,
+                                          position=(0.0, 0.0, 3.0)),
+                            num_frames=4, yaw_sweep=1.0)
+    config = RenderConfig(sh_degree=0)
+    targets = jax.vmap(lambda c: render_dense(scene, c, config))(cams)
+    start = dataclasses.replace(scene, sh=scene.sh * 0.6)
+    mesh = make_mesh(n_data=4, n_gaussian=2)
+    r_single = fit(start, cams, targets, steps=5, lr=1e-2, config=config)
+    r_dp = fit(start, cams, targets, steps=5, lr=1e-2, config=config,
+               mesh=mesh)
+    np.testing.assert_allclose(np.asarray(r_dp.losses),
+                               np.asarray(r_single.losses),
+                               rtol=2e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(r_dp.raw.sh),
+                               np.asarray(r_single.raw.sh),
+                               rtol=1e-3, atol=1e-6)
+
+
+def test_fit_data_parallel_rejects_indivisible_views():
+    import pytest
+    from splat_tpu.parallel.sharding import make_mesh
+    scene = _device_scene(random_scene(6, seed=6))
+    cams = orbit_trajectory(Camera.create(h=16, w=16,
+                                          position=(0.0, 0.0, 3.0)),
+                            num_frames=3)
+    mesh = make_mesh(n_data=4, n_gaussian=2)
+    with pytest.raises(ValueError, match="divisible"):
+        fit(scene, cams, jnp.zeros((3, 16, 16, 3)), steps=1,
+            config=RenderConfig(sh_degree=0), mesh=mesh)
