@@ -88,6 +88,32 @@ class RawParams:
             sh=self.sh)
 
 
+def save_raw_params(path, raw: RawParams) -> None:
+    """Checkpoint the UNCONSTRAINED training parameters exactly (npz).
+
+    ``save_ply`` checkpoints the activated scene (the deployment
+    artifact, loadable by any 3DGS tool); this saves the raw
+    pre-activation leaves bit-exactly so a resumed fit continues from
+    precisely where it stopped (log/logit round-trips through PLY lose
+    a few ulps at the activation boundaries).
+    """
+    import numpy as np
+
+    np.savez(path, **{k: np.asarray(getattr(raw, k))
+                      for k in ("means", "quats", "log_scales",
+                                "logit_opacities", "sh")})
+
+
+def load_raw_params(path) -> RawParams:
+    """Inverse of :func:`save_raw_params`."""
+    import numpy as np
+
+    with np.load(path) as z:
+        return RawParams(**{k: jnp.asarray(z[k])
+                            for k in ("means", "quats", "log_scales",
+                                      "logit_opacities", "sh")})
+
+
 def psnr(img: jax.Array, ref: jax.Array, peak: float = 1.0) -> jax.Array:
     """Peak signal-to-noise ratio in dB (the parity metric of the suite)."""
     mse = jnp.mean((img - ref) ** 2)

@@ -324,3 +324,23 @@ def test_fit_data_parallel_rejects_indivisible_views():
     with pytest.raises(ValueError, match="divisible"):
         fit(scene, cams, jnp.zeros((3, 16, 16, 3)), steps=1,
             config=RenderConfig(sh_degree=0), mesh=mesh)
+
+
+def test_raw_params_checkpoint_round_trip(tmp_path):
+    from splat_tpu.train import load_raw_params, save_raw_params
+    raw = RawParams.from_scene(_device_scene(random_scene(7, seed=8)))
+    p = tmp_path / "ckpt.npz"
+    save_raw_params(p, raw)
+    back = load_raw_params(p)
+    for k in ("means", "quats", "log_scales", "logit_opacities", "sh"):
+        np.testing.assert_array_equal(np.asarray(getattr(back, k)),
+                                      np.asarray(getattr(raw, k)))
+    # resuming a fit from the checkpoint continues cleanly
+    cams = orbit_trajectory(Camera.create(h=16, w=16,
+                                          position=(0.0, 0.0, 3.0)),
+                            num_frames=1)
+    config = RenderConfig(sh_degree=0)
+    targets = jax.vmap(
+        lambda c: render_dense(back.to_scene(), c, config))(cams)
+    res = fit(back.to_scene(), cams, targets, steps=2, config=config)
+    assert np.isfinite(np.asarray(res.losses)).all()
