@@ -39,13 +39,18 @@ Design (the TPU formulation of the INRIA backward recurrences):
   buffer (each tile owns 128-aligned regions — no cross-tile races; a
   pair masked in one tile's boundary window writes exact zeros there
   and its real gradient in its own tile's region).
-* **Scatter + pullback in XLA**: per-pair gradients segment-sum to
-  per-gaussian cotangents through the sorted pair→gaussian index map
-  (`bins.ranks`), then `jax.vjp` of the pure-JAX projection pulls them
-  back to scene parameters (and the camera pose — pose gradients come
-  free).  The u16/bit packing of the feature table is treated
-  straight-through: gradients are assigned to the unquantized projected
-  values (quantization noise is ~1.5e-5, far below training noise).
+* **Segment-sum + pullback in XLA**: per-pair gradients reduce to
+  per-gaussian cotangents by sorting on the pair→gaussian index map
+  (`bins.ranks`) and differencing a compensated running cumsum at
+  segment boundaries the binning's own count arithmetic provides
+  (`_scatter_pair_grads` — no K-scale scatter: an XLA scatter-add runs
+  at ~87 ns/index on TPU vs the ~5 ns gather floor, 480 ms vs ~70 ms
+  measured at 1M@1080p).  `jax.vjp` of the pure-JAX projection then
+  pulls them back to scene parameters (and the camera pose — pose
+  gradients come free).  The u16/bit packing of the feature table is
+  treated straight-through: gradients are assigned to the unquantized
+  projected values (quantization noise is ~1.5e-5, far below training
+  noise).
 
 Non-differentiable machinery (depth ordering, tile spans, the sort,
 visibility/keep indicators, radii) correctly contributes zero cotangent.
@@ -79,10 +84,15 @@ from splat_tpu.render.binning import FEATURE_DIM, _R15_MAX, build_tile_bins
 NBUF = 4          # read-DMA slots (2-window lookahead)
 NWBUF = 2         # write-DMA slots (backward gradient windows)
 # Per-pair gradient rows 0-8: [dcx, dcy, da2, db2, dc2, dcr, dcg, dcb,
-# dop]; padded to 16 rows because Mosaic DMA slices need 8-aligned
-# sublane counts (CLAUDE.md rule 12) and 9 is not — the 7 zero rows cost
-# ~0.1 ms of write bandwidth at K~2.6M, noise for a training step.
+# dop]; row 9 carries each slot's sorted-pair index k_global as an f32
+# VALUE (exact below 2^24; -1 marks window-padding slots), which the
+# scatter stage reads instead of reconstructing the padded-slot -> pair
+# map on the host (a searchsorted + 4 table gathers at K scale — 294 ms
+# measured; the kernel knows k_global for free).  Padded to 16 rows
+# because Mosaic DMA slices need 8-aligned sublane counts (CLAUDE.md
+# rule 12) — the zero rows cost ~0.1 ms of write bandwidth at K~2.6M.
 GRAD_SEM = 9
+GRAD_KG = 9
 GRAD_ROWS = 16
 
 
@@ -266,8 +276,6 @@ def _bwd_kernel(start_ref, end_ref, padbase_ref, feat_hbm,
     glt = glt_ref[0, 0]
     lt_n = lt_ref[0, 0]
 
-    ones_p = jnp.ones((1, p), jnp.float32)
-
     def dma(slot, j):
         off = pl.multiple_of(base + j * chunk, 128)
         return pltpu.make_async_copy(feat_hbm.at[:, pl.ds(off, chunk)],
@@ -316,11 +324,13 @@ def _bwd_kernel(start_ref, end_ref, padbase_ref, feat_hbm,
         t_i = jnp.exp(lt_i)
         wgt = alpha * t_i                              # w_i = alpha T_i
 
-        # ĝc_i = sum_c gC_c c_{i,c}: (P,3)@(3,chunk) on the MXU
-        gc_w = jax.lax.dot_general(
-            gc3, w["colors"], (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)        # (P, chunk)
+        # ĝc_i = sum_c gC_c c_{i,c}: a contraction of length THREE — as a
+        # matmul this pads to the MXU tile and HIGHEST multiplies the
+        # pass count by 6; five exact VPU passes beat it (measured: the
+        # kernel's low-utilization dots cost ~2x the whole VPU body)
+        gc_w = (gc3[:, 0:1] * w["colors"][0:1, :]
+                + gc3[:, 1:2] * w["colors"][1:2, :]
+                + gc3[:, 2:3] * w["colors"][2:3, :])   # (P, chunk)
         gw = gc_w * wgt
 
         # D_i = glogT + suffix_excl(gw) + carry-from-later-windows
@@ -333,21 +343,21 @@ def _bwd_kernel(start_ref, end_ref, padbase_ref, feat_hbm,
         #                                               when kept&unclamped)
         dop_pp = da * expp * mask                     # d opacity per pixel
 
-        red = lambda m: jax.lax.dot_general(
-            ones_p, m, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)        # (1, chunk)
+        # pixel reductions: (P, chunk) -> (1, chunk) SUBLANE sums on the
+        # VPU — exact f32, and ~128x better hardware utilization than a
+        # single-output-row (1,P)@(P,chunk) MXU dot (which pads its
+        # output tile to 128 rows; at HIGHEST it also 6x-es the passes)
+        red = lambda m: jnp.sum(m, axis=0, keepdims=True)  # (1, chunk)
         r_dx2 = red(dp * dx2)
         r_dy2 = red(dp * dy2)
         r_dxdy = red(dp * dxdy)
         r_dx = red(dp * dx)
         r_dy = red(dp * dy)
         r_dop = red(dop_pp)
-        # dcolor: (P,3)^T (P,chunk) weighted -> (3, chunk)
-        d_col = jax.lax.dot_general(
-            gc3, wgt, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)        # (3, chunk)
+        # dcolor rows: sum_p gC_c[p] * wgt[p, k] — three more VPU
+        # mult+sublane-sum passes (contraction length 3 again)
+        d_col = jnp.concatenate(
+            [red(gc3[:, c:c + 1] * wgt) for c in range(3)])  # (3, chunk)
 
         # power = a2 dx2 + c2 dy2 + b2 dxdy; dx = px - cx, dy = cy - py
         d_cx = -(2.0 * w["a2"] * r_dx + w["b2"] * r_dy)
@@ -366,7 +376,12 @@ def _bwd_kernel(start_ref, end_ref, padbase_ref, feat_hbm,
         gvm[wslot, 4:5] = r_dy2
         gvm[wslot, 5:8] = d_col
         gvm[wslot, 8:9] = r_dop
-        for z in range(GRAD_SEM, GRAD_ROWS):
+        # k_global as an exact f32 integer (< 2^24 guaranteed by the
+        # host-side fallback guard); -1 flags window-padding slots
+        gvm[wslot, GRAD_KG:GRAD_KG + 1] = jnp.where(
+            (k_global >= s) & (k_global < e),
+            k_global.astype(jnp.float32), -1.0)
+        for z in range(GRAD_KG + 1, GRAD_ROWS):
             gvm[wslot, z:z + 1] = jnp.zeros((1, chunk), jnp.float32)
         wdma(wslot, j).start()
 
@@ -535,8 +550,14 @@ def _bwd_raster(bins, g_c, g_lt, lt, h, w, config, interpret):
     return grads, pad_base, base_t
 
 
-def _scatter_pair_grads(grads, pad_base, base_t, bins, n, chunk):
-    """(9, KP2) window-padded pair grads -> (9, N) per-gaussian grads."""
+def _scatter_pair_grads_xla(grads, pad_base, base_t, bins, n, chunk):
+    """(9, KP2) window-padded pair grads -> (9, N) per-gaussian grads via
+    an XLA scatter-add.  The fallback path for k_cap >= 2^24 (where the
+    kernel's f32 k_global row would lose integer exactness); on the
+    measured 1M@1080p operating point it costs ~480 ms/step — the
+    searchsorted padded-slot -> tile map alone is 294 ms and the
+    unsorted scatter-add runs at ~87 ns/index vs the ~5 ns gather floor
+    — which is why the sorted segment-sum path below is the default."""
     kp2 = grads.shape[1]
     k_cap = bins.ranks.shape[0]
     p_ids = jnp.arange(kp2, dtype=jnp.int32)
@@ -556,6 +577,100 @@ def _scatter_pair_grads(grads, pad_base, base_t, bins, n, chunk):
     out = out.at[:, gidx].add(jnp.where(valid[None, :], sem_rows, 0.0),
                               mode="drop")
     return out[:, :n]
+
+
+def _segment_offsets(proj, k_cap, tiles_x, tiles_y, config):
+    """(N+1,) exclusive offsets of each gaussian's run in the
+    sorted-by-gaussian valid pair slots.
+
+    Depth-mode binning keeps pre-sort slots in SCENE order (binning.py
+    step 2), so capacity truncation drops exactly the pre-sort slots at
+    index >= k_cap; a gaussian's retained pair count is its slot-range
+    intersection with [0, k_cap).  Invisible gaussians' sentinel-tile
+    fake slots consume capacity (counts = 1) but are never inside a real
+    tile's [start, end) range, so they retain zero.  This reproduces the
+    binning's accounting exactly — the offsets are the segment
+    boundaries of the backward's sort-by-gaussian, with no searchsorted
+    at K scale."""
+    from splat_tpu.render.binning import quantize_radius_bits, tile_spans
+
+    rbits = quantize_radius_bits(proj.radius_px[:, 0], proj.radius_px[:, 1],
+                                 proj.visible)
+    _, _, _, counts = tile_spans(
+        proj.center_px[:, 0], proj.center_px[:, 1], rbits,
+        config.tile_w, config.tile_h, tiles_x, tiles_y)
+    counts = jnp.where(proj.visible, counts, 1)    # depth-mode fake slots
+    cum = jnp.cumsum(counts)
+    first = cum - counts
+    retained = jnp.where(
+        proj.visible,
+        jnp.clip(jnp.minimum(cum, k_cap) - jnp.minimum(first, k_cap),
+                 0, None),
+        0).astype(jnp.int32)
+    return jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(retained).astype(jnp.int32)])
+
+
+def _boundary_take(rows, idx):
+    """Gather (R, K) rows at (M,) indices in ceil(R/8)-row groups —
+    gather cost cliffs ~4.4x above 8 rows (CLAUDE.md rule 9; measured
+    here: 8 rows 16.3 ms, 9 rows 71.6 ms at K=2.5M)."""
+    r = rows.shape[0]
+    parts = [jnp.take(rows[i:i + 8], idx, axis=1) for i in range(0, r, 8)]
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def _scatter_pair_grads(grads, pad_base, base_t, bins, proj, n, config):
+    """(GRAD_ROWS, KP2) window-padded pair grads -> (9, N) per-gaussian
+    grads, as a sort + gather + compensated segment cumsum — no K-scale
+    scatter anywhere.
+
+    The XLA scatter-add formulation costs ~480 ms at 1M@1080p (87
+    ns/index serialization + a 294 ms host-side slot map); this path
+    runs the same reduction at gather/sort speeds (~70 ms measured):
+
+    1. each slot's pair index k_global comes from the kernel itself
+       (GRAD_KG row — exact f32 integers), giving gaussian ids with one
+       8-row-safe take through bins.ranks;
+    2. ONE unstable sort by gaussian id; the 9th gradient row rides as a
+       sort payload (+1.4 ms) so the value gather stays at 8 rows
+       (9-row gathers cliff 4.4x);
+    3. per-gaussian sums = differences of the sorted rows' running
+       cumsum at segment boundaries known EXACTLY from the binning's
+       own count arithmetic (_segment_offsets — no searchsorted);
+    4. the cumsum is COMPENSATED (a second cumsum of the per-element
+       rounding residuals): a plain f32 prefix at K=2.5M leaves
+       ~4e-3 worst-case relative error on short segments riding a large
+       running prefix; the residual pass restores ~1e-7 for one extra
+       cumsum + boundary take (~13 ms).
+    """
+    kp2 = grads.shape[1]
+    k_cap = bins.ranks.shape[0]
+    p_ids = jnp.arange(kp2, dtype=jnp.int32)
+    kg = grads[GRAD_KG]
+    # slots past pad_base[-1] were never written (uninitialized HBM):
+    # mask by the slot bound first, THEN trust the kernel's -1 flags
+    valid = (p_ids < pad_base[-1]) & (kg >= 0.0)
+    k_global = jnp.clip(kg, 0.0, float(k_cap - 1)).astype(jnp.int32)
+    gidx = jnp.where(valid, jnp.take(bins.ranks, k_global), n)
+    row8 = jnp.where(valid, grads[GRAD_SEM - 1], 0.0)
+    sg, order, row8_s = jax.lax.sort((gidx, p_ids, row8), num_keys=1)
+    del sg
+    sv8 = jnp.take(jnp.where(valid[None, :], grads[:GRAD_SEM - 1], 0.0),
+                   order, axis=1)
+    sv = jnp.concatenate([sv8, row8_s[None, :]], axis=0)   # (9, KP2)
+    c0 = jnp.cumsum(sv, axis=1)
+    resid = sv - jnp.diff(c0, axis=1,
+                          prepend=jnp.zeros((GRAD_SEM, 1), jnp.float32))
+    c1 = jnp.cumsum(resid, axis=1)
+    zero = jnp.zeros((2 * GRAD_SEM, 1), jnp.float32)
+    cpad = jnp.concatenate([zero, jnp.concatenate([c0, c1], axis=0)],
+                           axis=1)                          # (18, KP2+1)
+    off = _segment_offsets(proj, k_cap, bins.tiles_x, bins.tiles_y,
+                           config)                          # (N+1,)
+    q = _boundary_take(cpad, off)                           # (18, N+1)
+    seg = q[:, 1:] - q[:, :-1]
+    return seg[:GRAD_SEM] + seg[GRAD_SEM:]
 
 
 def _core_fwd_impl(scene, camera, config, interpret):
@@ -585,7 +700,14 @@ def _core_bwd(config, interpret, res, cts):
 
     grads, pad_base, base_t = _bwd_raster(
         bins, g_c, g_lt, lt, camera.h, camera.w, config, interpret)
-    per_g = _scatter_pair_grads(grads, pad_base, base_t, bins, n, chunk)
+    proj = project_gaussians(scene, camera, config)
+    if bins.ranks.shape[0] >= (1 << 24):
+        # f32 k_global row loses integer exactness at 2^24 slots
+        per_g = _scatter_pair_grads_xla(grads, pad_base, base_t, bins, n,
+                                        chunk)
+    else:
+        per_g = _scatter_pair_grads(grads, pad_base, base_t, bins, proj,
+                                    n, config)
 
     # per-pair rows were computed against the PACKED values: rows 2-4 are
     # the prescaled conic (-a/2, -b, -c/2); undo the prescale here
@@ -599,7 +721,6 @@ def _core_bwd(config, interpret, res, cts):
     # straight-through the u16 packing; the pack clips color to [0, 1],
     # whose subgradient masks out-of-range channels (same as the clip the
     # dense path applies)
-    proj = project_gaussians(scene, camera, config)
     in01 = (proj.color >= 0.0) & (proj.color <= 1.0)
     d_color = jnp.where(in01, d_color_packed, 0.0)
 

@@ -176,6 +176,69 @@ class TestBackwardExact:
         assert np.sign(g) == np.sign(fd) or abs(fd) < 1e-5
 
 
+class TestScatterImpls:
+    """The sorted segment-sum scatter (the fast path) must reproduce the
+    XLA scatter-add fallback exactly — including under capacity
+    truncation, where _segment_offsets' retained-count arithmetic must
+    match the binning's own accounting slot for slot."""
+
+    def _pair_grads(self, n, seed, dup):
+        from splat_tpu.render import diff as D
+
+        scene = _jscene(n, seed)
+        cam = Camera.create(h=64, w=96, position=(0.0, 0.0, 4.0))
+        cfg = RenderConfig(max_dup_factor=dup)
+        proj = project_gaussians(scene, cam, cfg)
+        bins = build_tile_bins(proj, cam.h, cam.w, cfg, interpret=True)
+        rng = np.random.default_rng(seed)
+        g_c = jnp.asarray(rng.normal(size=(cam.h, cam.w, 3))
+                          .astype(np.float32))
+        g_lt = jnp.asarray(rng.normal(size=(cam.h, cam.w))
+                           .astype(np.float32))
+        _, lt = D._fwd_raster(bins, cam.h, cam.w, cfg, True)
+        grads, pad_base, base_t = D._bwd_raster(
+            bins, g_c, g_lt, lt, cam.h, cam.w, cfg, True)
+        return D, scene, cfg, proj, bins, grads, pad_base, base_t
+
+    def _compare(self, n, seed, dup):
+        D, scene, cfg, proj, bins, grads, pad_base, base_t = \
+            self._pair_grads(n, seed, dup)
+        ref = np.asarray(D._scatter_pair_grads_xla(
+            grads, pad_base, base_t, bins, n, cfg.chunk))
+        fast = np.asarray(D._scatter_pair_grads(
+            grads, pad_base, base_t, bins, proj, n, cfg))
+        scale = np.abs(ref).max() + 1e-20
+        assert np.abs(fast - ref).max() / scale < 1e-6, \
+            f"rel {np.abs(fast - ref).max() / scale:.2e}"
+        return bins
+
+    def test_matches_xla_fallback(self):
+        bins = self._compare(300, 11, 8.0)
+        assert int(bins.overflow) == 0
+
+    def test_matches_under_capacity_truncation(self):
+        # a tight capacity drops trailing pre-sort slots; the offsets
+        # must reproduce exactly which pairs survived
+        # k_cap rounds up to the 4096-slot expansion grain, so force
+        # enough pairs to overflow the smallest possible capacity
+        bins = self._compare(4000, 11, 1.0)
+        assert int(bins.overflow) > 0  # truncation actually exercised
+
+    def test_kg_row_marks_padding(self):
+        from splat_tpu.render import diff as D
+
+        _, _, _, _, bins, grads, pad_base, _ = self._pair_grads(
+            200, 5, 8.0)
+        kg = np.asarray(grads[D.GRAD_KG])
+        nwritten = int(pad_base[-1])
+        written = kg[:nwritten]
+        valid = written >= 0
+        # valid slots carry exact integer pair indices within range
+        assert np.all(written[valid] == np.round(written[valid]))
+        assert written[valid].max() < bins.ranks.shape[0]
+        assert np.all(written[~valid] == -1.0)
+
+
 class TestDenseAgreement:
     def test_cosine_similarity_vs_dense_vjp(self):
         scene = _jscene(200, 3)
