@@ -42,7 +42,8 @@ def main():
     ap.add_argument("--stage",
                     choices=["full", "project", "bins", "bins_order",
                              "bins_counts", "bins_slots", "bins_tiles",
-                             "bins_sort", "bins_edges", "bins_gather"],
+                             "bins_sort", "bins_edges", "bins_gather",
+                             "raster"],
                     default="full")
     ap.add_argument("--nocull", action="store_true", default=None)
     ap.add_argument("--cull", dest="nocull", action="store_false")
@@ -245,6 +246,15 @@ def main():
             v = build_tile_bins(p, args.h, args.w, config,
                                 debug_stage=args.stage[5:])
             return v.astype(jnp.float32)
+        if args.stage == "raster":
+            # full pipeline MINUS the untile relayout: consumes the
+            # kernel's native (C, T, bs0, bs1) output, so full - raster
+            # is the XLA transpose/reshape (+ final mean fusion) cost
+            from splat_tpu.render.kernels import rasterize_tiles
+            p = project_gaussians(scene, c, config)
+            b = build_tile_bins(p, args.h, args.w, config)
+            out = rasterize_tiles(b, args.h, args.w, config, _raw=True)
+            return jnp.mean(out) * 3
         img = render_tiled(scene, c, config)
         return jnp.mean(img) * 3
 

@@ -487,9 +487,14 @@ def _raster_kernel(
 
 
 def rasterize_tiles(bins: TileBins, h: int, w: int, config: RenderConfig,
-                    *, interpret: bool = False) -> jax.Array:
+                    *, interpret: bool = False,
+                    _raw: bool = False) -> jax.Array:
     """Run the compositing kernel.  Returns float32 (H, W, 3) in [0, 1]
-    (or (H, W, 4) with config.alpha_channel: RGB + accumulated 1 - T)."""
+    (or (H, W, 4) with config.alpha_channel: RGB + accumulated 1 - T).
+
+    _raw: return the kernel's native (C, tiles, bs0, bs1) output without
+      the untile relayout — profiling hook (scripts/devtime.py --stage
+      raster) for splitting kernel cost from the XLA untile transpose."""
     tw, th = config.tile_w, config.tile_h
     bs0, bs1 = config.block_shape
     ntx, nty = bins.tiles_x, bins.tiles_y
@@ -548,6 +553,8 @@ def rasterize_tiles(bins: TileBins, h: int, w: int, config: RenderConfig,
         ),
         interpret=interpret,
     )(bins.tile_start, bins.tile_end, bins.features)
+    if _raw:
+        return out
 
     # untile: (C, T, bs0, bs1) -> (H, W, C).  Linear pixel index
     # r = sublane*bs1 + lane decomposes per the kernel's group mapping:
