@@ -7,6 +7,9 @@ Covers the reference's binaries (SURVEY §2.1):
   trim    — cut a PLY down to a tiny fixture  (00_ply_load.rs)
   info    — scene statistics
   bench   — timing on a scene or synthetic load
+  fit     — optimize a scene against target images (beyond reference:
+            distillation/compression of an existing model, or fitting a
+            PNG + camera-JSON dataset, through the tiled custom VJP)
 Every magic number of the reference is a flag with its default.
 """
 
@@ -333,6 +336,140 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_fit(args) -> int:
+    """Optimize a scene against target images (training as a CLI citizen).
+
+    Two target sources:
+      --distill REF.ply : render the targets from an existing model over
+        an orbit (scene compression / distillation — fit a smaller model
+        to reproduce a big one);
+      --targets DIR --cameras FILE.json : fit to a directory of PNG
+        images with poses from a JSON camera spec:
+        {"h": 300, "w": 400, "fovy_deg": 90.0, "views": [
+           {"position": [x,y,z], "target": [0,0,0],
+            "yaw": 0.0, "pitch": 0.0}, ...]}
+        (views pair with the directory's *.png sorted by name).
+
+    The reference has no training at all; this wraps train.fit (adam,
+    L2+L1+D-SSIM, tiled custom-VJP path, optional densification) the way
+    `render` wraps the forward path.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    import splat_tpu as st
+    from splat_tpu.camera import Camera, orbit_trajectory
+    from splat_tpu.config import RenderConfig
+    from splat_tpu.io.cache import load_scene_cached
+    from splat_tpu.train import fit
+    from splat_tpu.utils.image import psnr, read_png
+
+    w, h = (int(x) for x in args.size.split("x"))
+    fovy = float(np.deg2rad(args.fovy_deg))
+    cfg = RenderConfig(max_dup_factor=float(args.dup_factor),
+                       sh_degree=args.sh_degree)
+
+    # ---- targets + cameras ------------------------------------------------
+    ref = None
+    if args.distill:
+        # center=False: the fitted scene must live in REF's coordinates
+        ref = load_scene_cached(args.distill, center=False)
+        base = Camera.create(h=h, w=w, position=_parse_vec(args.pos, 3),
+                             target=_parse_vec(args.target, 3), fovy=fovy)
+        cams = orbit_trajectory(base, num_frames=args.views,
+                                yaw_sweep=float(np.deg2rad(args.yaw_sweep)),
+                                pitch_sweep=float(
+                                    np.deg2rad(args.pitch_sweep)))
+        cam_list = [jax.tree.map(lambda a, i=i: a[i], cams)
+                    for i in range(args.views)]
+        print(f"rendering {args.views} target views from "
+              f"{args.distill} at {w}x{h}...")
+        targets = jnp.stack([
+            jnp.asarray(st.render(ref, c, method=args.method))
+            for c in cam_list])
+    elif args.targets:
+        if not args.cameras:
+            raise SystemExit("--targets needs --cameras FILE.json")
+        with open(args.cameras) as f:
+            spec = json.load(f)
+        h = int(spec.get("h", h))
+        w = int(spec.get("w", w))
+        fovy = float(np.deg2rad(spec.get("fovy_deg", args.fovy_deg)))
+        files = sorted(
+            os.path.join(args.targets, n) for n in os.listdir(args.targets)
+            if n.lower().endswith(".png"))
+        views = spec["views"]
+        if len(files) != len(views):
+            raise SystemExit(f"{len(files)} PNGs in {args.targets} but "
+                             f"{len(views)} views in {args.cameras}")
+        imgs = []
+        for p in files:
+            img = read_png(p)[:, :, :3].astype(np.float32) / 255.0
+            if img.shape[:2] != (h, w):
+                raise SystemExit(f"{p} is {img.shape[1]}x{img.shape[0]}, "
+                                 f"cameras say {w}x{h}")
+            imgs.append(img)
+        targets = jnp.asarray(np.stack(imgs))
+        cl = [Camera.create(
+            h=h, w=w, position=tuple(v["position"]),
+            target=tuple(v.get("target", (0.0, 0.0, 0.0))),
+            yaw=float(v.get("yaw", 0.0)), pitch=float(v.get("pitch", 0.0)),
+            fovy=fovy) for v in views]
+        cams = jax.tree.map(lambda *xs: jnp.stack(xs), *cl)
+        cam_list = cl
+    else:
+        raise SystemExit("pass --distill REF.ply or --targets DIR")
+
+    # ---- initialization ---------------------------------------------------
+    if args.init:
+        start = load_scene_cached(args.init, center=False)
+    else:
+        start = st.random_scene(args.init_n, seed=args.seed, extent=1.0)
+        if ref is not None:  # place the random ball over REF's extent
+            means = np.asarray(ref.means)
+            center = means.mean(axis=0)
+            extent = float(np.percentile(
+                np.linalg.norm(means - center, axis=1), 95))
+            start = dataclasses.replace(
+                start,
+                means=start.means * extent + center[None, :],
+                scales=start.scales * extent)
+        start = jax.tree.map(jnp.asarray, start)
+
+    # ---- optimize ---------------------------------------------------------
+    n0 = start.num_gaussians
+    print(f"fitting {n0} splats to {targets.shape[0]} views "
+          f"({w}x{h}), {args.steps} steps, method={args.fit_method}, "
+          f"l1={args.l1}, dssim={args.dssim}"
+          + (f", densify every {args.densify_every}"
+             if args.densify_every else ""))
+    t0 = time.time()
+    res = fit(start, cams, targets, steps=args.steps, lr=args.lr,
+              config=cfg, method=args.fit_method, l1_weight=args.l1,
+              dssim_weight=args.dssim,
+              densify_every=args.densify_every)
+    dt = time.time() - t0
+    print(f"fit in {dt:.0f}s: loss {float(res.losses[0]):.5f} -> "
+          f"{float(res.losses[-1]):.5f} "
+          f"({float(res.losses[0]) / max(float(res.losses[-1]), 1e-12):.1f}x)")
+    for rnd in res.densify_log:
+        print(f"  densify: {rnd}")
+
+    scene_np = jax.tree.map(np.asarray, res.scene)
+    ps = [float(psnr(np.asarray(st.render(res.scene, c, method=args.method,
+                                          check_overflow=False)),
+                     np.asarray(t)))
+          for c, t in zip(cam_list, list(targets))]
+    print(f"reconstruction PSNR vs targets: mean {np.mean(ps):.2f} dB "
+          f"(per view: {', '.join(f'{p:.1f}' for p in ps)})")
+    st.save_ply(args.out, scene_np)
+    print(f"wrote {args.out} ({scene_np.num_gaussians} gaussians)")
+    return 0
+
+
 def cmd_serve(args) -> int:
     from splat_tpu.viewer.server import serve
 
@@ -401,6 +538,55 @@ def main(argv=None) -> int:
                         "encode/decode; localhost default) or PNG at "
                         "--png-level (thin links)")
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("fit", help="optimize a scene against target "
+                       "images (distill an existing model or fit a "
+                       "PNG+camera dataset); training as a CLI citizen "
+                       "— the reference has no training path at all")
+    p.add_argument("--distill", metavar="REF.ply", default=None,
+                   help="render the targets from this model over an "
+                        "orbit (scene compression/distillation)")
+    p.add_argument("--targets", metavar="DIR", default=None,
+                   help="directory of target PNGs (sorted by name)")
+    p.add_argument("--cameras", metavar="FILE.json", default=None,
+                   help="camera spec for --targets: {h, w, fovy_deg, "
+                        "views: [{position, target, yaw, pitch}]}")
+    p.add_argument("--init", metavar="INIT.ply", default=None,
+                   help="initial scene (default: random init sized to "
+                        "the distill model's extent)")
+    p.add_argument("--init-n", type=int, default=20_000,
+                   help="random-init gaussian count (without --init)")
+    p.add_argument("--out", default="fitted.ply")
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--lr", type=float, default=5e-3)
+    p.add_argument("--l1", type=float, default=0.2)
+    p.add_argument("--dssim", type=float, default=0.2)
+    p.add_argument("--fit-method", choices=["dense", "tiled"],
+                   default="tiled",
+                   help="gradient path: the production tiled custom-VJP "
+                        "(scales to millions of splats) or the exact "
+                        "dense path (small scenes)")
+    p.add_argument("--method", choices=["auto", "dense", "tiled"],
+                   default="auto", help="forward path for target "
+                   "rendering / PSNR reporting")
+    p.add_argument("--views", type=int, default=4,
+                   help="orbit views for --distill")
+    p.add_argument("--yaw-sweep", type=float, default=45.0,
+                   help="distill orbit yaw sweep (degrees)")
+    p.add_argument("--pitch-sweep", type=float, default=10.0)
+    p.add_argument("--size", default="400x300")
+    p.add_argument("--pos", default="0,-1,3.5")
+    p.add_argument("--target", default="0,0,0")
+    p.add_argument("--fovy-deg", type=float, default=90.0)
+    p.add_argument("--sh-degree", type=int, default=3)
+    p.add_argument("--dup-factor", type=float, default=4.0,
+                   help="duplication capacity for the tiled VJP path "
+                        "(train.fit audits it against every view)")
+    p.add_argument("--densify-every", type=int, default=0,
+                   help="adaptive density control (clone/split/prune) "
+                        "every K steps (0 = off)")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_fit)
 
     p = sub.add_parser("bench", help="device-chained frame timing")
     p.add_argument("scene", nargs="?")

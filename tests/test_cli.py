@@ -116,3 +116,57 @@ def test_orbit_gif(scene_ply, tmp_path):
     assert data[:6] == b"GIF89a"
     assert data[-1:] == b"\x3b"
     assert len(data) > 200
+
+
+def test_fit_distill(scene_ply, tmp_path, capsys):
+    """`fit --distill` optimizes a random init against orbit renders of an
+    existing model and writes a loadable PLY (training as a CLI citizen —
+    the reference has no training path; train.py is the engine)."""
+    from splat_tpu.io.ply import load_ply
+
+    out = str(tmp_path / "fitted.ply")
+    rc = main(["fit", "--distill", scene_ply, "--init-n", "128",
+               "--views", "2", "--size", "48x32", "--steps", "4",
+               "--fit-method", "dense", "--seed", "1", "--out", out])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "reconstruction PSNR" in text
+    fitted = load_ply(out, center=False)
+    assert fitted.num_gaussians == 128
+
+
+def test_fit_targets_dir(scene_ply, tmp_path, capsys):
+    """`fit --targets DIR --cameras FILE.json` fits PNG images with poses
+    from the documented JSON camera spec."""
+    import jax
+
+    import splat_tpu as st
+    from splat_tpu.io.ply import load_ply
+    from splat_tpu.utils.image import to_uint8, write_png
+
+    scene = st.load_ply(scene_ply, center=False)
+    tdir = tmp_path / "targets"
+    tdir.mkdir()
+    views = []
+    for i, yaw in enumerate([0.0, 0.4]):
+        cam = st.Camera.create(h=32, w=48, position=(0.0, 0.0, 4.0),
+                               yaw=yaw)
+        img = np.asarray(st.render(scene, cam, method="dense"))
+        write_png(str(tdir / f"v{i}.png"), to_uint8(img))
+        views.append({"position": [0.0, 0.0, 4.0], "yaw": yaw})
+    cams_json = str(tmp_path / "cams.json")
+    with open(cams_json, "w") as f:
+        json.dump({"h": 32, "w": 48, "fovy_deg": 90.0, "views": views}, f)
+
+    out = str(tmp_path / "fitted2.ply")
+    rc = main(["fit", "--targets", str(tdir), "--cameras", cams_json,
+               "--init-n", "128", "--steps", "4", "--fit-method", "dense",
+               "--out", out])
+    assert rc == 0
+    assert "reconstruction PSNR" in capsys.readouterr().out
+    assert load_ply(out, center=False).num_gaussians == 128
+
+
+def test_fit_requires_target_source():
+    with pytest.raises(SystemExit):
+        main(["fit", "--out", "x.ply"])
