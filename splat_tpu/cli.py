@@ -119,6 +119,55 @@ def _camera(args):
         fovy=float(np.deg2rad(args.fovy_deg)))
 
 
+def _load_camera_path(path: str, size: str, fovy_deg: float,
+                      interp: int = 1):
+    """Camera list from the JSON spec shared by `fit` and `orbit --path`:
+
+      {"h": 300, "w": 400, "fovy_deg": 90.0, "views": [
+         {"position": [x,y,z], "target": [0,0,0],
+          "yaw": 0.0, "pitch": 0.0}, ...]}
+
+    Returns (cam_list, h, w).  interp > 1 linearly interpolates that many
+    frames between consecutive waypoints (position/target/yaw/pitch),
+    turning a handful of keyframes into a smooth flythrough — the export
+    counterpart of the reference viewer's freeform navigation
+    (src/main.rs:42-80)."""
+    import numpy as np
+
+    import splat_tpu as st
+
+    with open(path) as f:
+        spec = json.load(f)
+    w, h = (int(x) for x in size.split("x"))
+    h, w = int(spec.get("h", h)), int(spec.get("w", w))
+    fovy = float(np.deg2rad(spec.get("fovy_deg", fovy_deg)))
+    vs = spec["views"]
+    if not vs:
+        raise SystemExit(f"{path}: empty views list")
+    pos = np.asarray([v["position"] for v in vs], np.float32)
+    tgt = np.asarray([v.get("target", (0.0, 0.0, 0.0)) for v in vs],
+                     np.float32)
+    yaw = np.asarray([v.get("yaw", 0.0) for v in vs], np.float32)
+    pitch = np.asarray([v.get("pitch", 0.0) for v in vs], np.float32)
+    if interp > 1 and len(vs) > 1:
+        t = np.arange(len(vs), dtype=np.float32)
+        tq = np.linspace(0.0, len(vs) - 1.0,
+                         (len(vs) - 1) * interp + 1).astype(np.float32)
+
+        def lerp(a):
+            if a.ndim == 2:
+                return np.stack([np.interp(tq, t, a[:, i])
+                                 for i in range(a.shape[1])],
+                                axis=-1).astype(np.float32)
+            return np.interp(tq, t, a).astype(np.float32)
+
+        pos, tgt, yaw, pitch = lerp(pos), lerp(tgt), lerp(yaw), lerp(pitch)
+    cams = [st.Camera.create(h=h, w=w, position=tuple(p), target=tuple(g),
+                             yaw=float(y), pitch=float(q), fovy=fovy)
+            for p, g, y, q in zip(pos, tgt, yaw, pitch)]
+    return cams, h, w
+
+
 def _config(args, scene=None, cam=None):
     from splat_tpu.config import RenderConfig
 
@@ -201,7 +250,16 @@ def cmd_orbit(args) -> int:
     from splat_tpu.render.api import resolve_method
 
     scene = _load(args)
-    cam = _camera(args)
+    cam_path = None
+    if args.path:
+        cam_path, _, _ = _load_camera_path(args.path, args.size,
+                                           args.fovy_deg,
+                                           interp=args.interp)
+        cam = cam_path[0]
+        n_frames = len(cam_path)
+    else:
+        cam = _camera(args)
+        n_frames = args.frames
     os.makedirs(args.out_dir, exist_ok=True)
     config = _config(args, scene, cam)
     scene = scene.pack_device()   # feature-major hot-path layout
@@ -218,13 +276,18 @@ def cmd_orbit(args) -> int:
         f_stats = None
     overflows = []
     gif_frames = [] if args.gif else None
-    cams = orbit_trajectory(cam, args.frames,
-                            yaw_sweep=float(np.deg2rad(args.yaw_sweep)),
-                            pitch_sweep=float(np.deg2rad(args.pitch_sweep)))
+    if cam_path is None:
+        cams = orbit_trajectory(
+            cam, n_frames,
+            yaw_sweep=float(np.deg2rad(args.yaw_sweep)),
+            pitch_sweep=float(np.deg2rad(args.pitch_sweep)))
     t0 = time.time()
-    for i in range(args.frames):
-        c = jax.tree.map(lambda a: a[i], cams,
-                         is_leaf=lambda a: hasattr(a, "shape"))
+    for i in range(n_frames):
+        if cam_path is not None:
+            c = cam_path[i]
+        else:
+            c = jax.tree.map(lambda a: a[i], cams,
+                             is_leaf=lambda a: hasattr(a, "shape"))
         if f_stats is not None:
             img, stats = f_stats(scene, c)
             # keep the scalar on device; one fetch after the loop (each
@@ -239,7 +302,7 @@ def cmd_orbit(args) -> int:
             gif_frames.append(img)
         if i == 0:
             t0 = time.time()  # exclude compile from FPS
-    steady = args.frames - 1
+    steady = n_frames - 1
     if steady > 0:
         dt = (time.time() - t0) / steady
         print(f"{steady} frames: {dt * 1e3:.1f} ms/frame "
@@ -255,7 +318,7 @@ def cmd_orbit(args) -> int:
         from splat_tpu.utils.gif import write_gif
         write_gif(args.gif, gif_frames, fps=args.gif_fps)
         print(f"wrote {args.gif}")
-    print(f"wrote {args.frames} frames to {args.out_dir}/")
+    print(f"wrote {n_frames} frames to {args.out_dir}/")
     return 0
 
 
@@ -500,6 +563,16 @@ def main(argv=None) -> int:
     p.add_argument("--yaw-sweep", type=float, default=360.0,
                    help="total yaw sweep in degrees")
     p.add_argument("--pitch-sweep", type=float, default=0.0)
+    p.add_argument("--path", metavar="FILE.json", default=None,
+                   help="render a custom camera path instead of the "
+                        "yaw/pitch orbit: same JSON spec as `fit "
+                        "--cameras` ({h, w, fovy_deg, views: [{position, "
+                        "target, yaw, pitch}]}); overrides --frames/"
+                        "--size/--pos")
+    p.add_argument("--interp", type=int, default=1, metavar="K",
+                   help="with --path: linearly interpolate K frames "
+                        "between consecutive waypoints (keyframes -> "
+                        "smooth flythrough)")
     p.add_argument("--out-dir", default="frames")
     p.add_argument("--png-level", type=int, default=6,
                    help="zlib level for frame PNGs (lower = faster export, "

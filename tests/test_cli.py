@@ -170,3 +170,25 @@ def test_fit_targets_dir(scene_ply, tmp_path, capsys):
 def test_fit_requires_target_source():
     with pytest.raises(SystemExit):
         main(["fit", "--out", "x.ply"])
+
+
+def test_orbit_custom_path(scene_ply, tmp_path):
+    """`orbit --path keyframes.json --interp K` renders an interpolated
+    camera flythrough ((V-1)*K + 1 frames) instead of the yaw orbit."""
+    spec = {"h": 32, "w": 48, "fovy_deg": 90.0, "views": [
+        {"position": [0.0, 0.0, 4.0], "yaw": 0.0},
+        {"position": [0.5, -0.5, 3.5], "yaw": 0.6, "pitch": 0.2},
+    ]}
+    path = str(tmp_path / "path.json")
+    with open(path, "w") as f:
+        json.dump(spec, f)
+    outdir = str(tmp_path / "fly")
+    rc = main(["orbit", scene_ply, "--path", path, "--interp", "3",
+               "--out-dir", outdir])
+    assert rc == 0
+    frames = sorted(os.listdir(outdir))
+    assert len(frames) == 4  # (2-1)*3 + 1
+    a = read_png(os.path.join(outdir, frames[0])).astype(np.int32)
+    b = read_png(os.path.join(outdir, frames[-1])).astype(np.int32)
+    assert a.shape == (32, 48, 3)
+    assert np.abs(a - b).max() > 0  # the camera moved
