@@ -513,6 +513,8 @@ def cmd_fit(args) -> int:
     res = fit(start, cams, targets, steps=args.steps, lr=args.lr,
               config=cfg, method=args.fit_method, l1_weight=args.l1,
               dssim_weight=args.dssim,
+              lr_decay=({"means": args.means_lr_decay}
+                        if args.means_lr_decay != 1.0 else None),
               densify_every=args.densify_every)
     dt = time.time() - t0
     print(f"fit in {dt:.0f}s: loss {float(res.losses[0]):.5f} -> "
@@ -658,6 +660,11 @@ def main(argv=None) -> int:
     p.add_argument("--densify-every", type=int, default=0,
                    help="adaptive density control (clone/split/prune) "
                         "every K steps (0 = off)")
+    p.add_argument("--means-lr-decay", type=float, default=0.01,
+                   help="total exponential decay of the positional lr "
+                        "over the run (the INRIA recipe's position "
+                        "schedule: 1.6e-4 -> 1.6e-6 is 0.01); 1.0 = "
+                        "constant lr")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_fit)
 

@@ -32,6 +32,7 @@ Pallas backward kernel over the same per-tile pair ranges) — pass
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 from typing import Callable
 
@@ -365,7 +366,7 @@ def densify_and_prune(raw: RawParams, grad_mean, *,
 
 def fit(scene: GaussianScene, cameras: Camera, targets,
         *, steps: int = 200, lr: float = 1e-2,
-        lr_scales: dict | None = None,
+        lr_scales: dict | None = None, lr_decay: dict | None = None,
         config: RenderConfig | None = None,
         l1_weight: float = 0.2, chunk: int = 16,
         dssim_weight: float = 0.0, method: str = "dense",
@@ -379,6 +380,12 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
       targets: (V, H, W, C) float32 ground-truth images in [0, 1].
       steps: optimizer steps; each step sees ALL views (full-batch).
       lr: base adam learning rate, scaled per-leaf by ``lr_scales``.
+      lr_decay: per-leaf exponential lr decay over the whole run, e.g.
+        ``{"means": 0.01}`` takes the means lr from ``lr * scale`` down
+        to 1% of it by the final step — the INRIA recipe's positional
+        schedule (its 1.6e-4 -> 1.6e-6 position lr is exactly a 0.01
+        total decay).  The decay follows the GLOBAL step, so it does
+        not restart when densification re-initializes the adam moments.
       mesh: optional ``jax.sharding.Mesh`` with a ``"d"`` axis —
         DATA-PARALLEL training: the views (cameras/targets leading axis,
         which must divide the axis size) shard across chips, each chip
@@ -442,22 +449,37 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
     label_tree = RawParams(means="means", quats="quats",
                            log_scales="log_scales",
                            logit_opacities="logit_opacities", sh="sh")
+    decay = {k: 1.0 for k in scales}
+    decay.update(lr_decay or {})
+    # scale_by_adam + an explicit per-leaf -lr multiply == optax.adam,
+    # but lets the lr follow a TRACED global step (the decay schedule
+    # survives the per-segment opt-state re-init densification forces).
     opt = optax.multi_transform(
-        {k: optax.adam(lr * s) for k, s in scales.items()}, label_tree)
+        {k: optax.scale_by_adam() for k in scales}, label_tree)
+
+    def _lr_tree(gstep):
+        frac = gstep / jnp.float32(max(steps - 1, 1))
+        return jax.tree.map(
+            lambda name: -lr * scales[name]
+            * jnp.exp(frac * jnp.float32(math.log(decay[name]))),
+            label_tree)
 
     @partial(jax.jit, static_argnames=("length",))
-    def run_segment(raw, opt_state, length):
-        def body(carry, _):
+    def run_segment(raw, opt_state, step0, length):
+        def body(carry, i):
             raw, opt_state, gsum = carry
             loss, grads = jax.value_and_grad(loss_fn)(raw)
             gnorm = jnp.linalg.norm(grads.means, axis=1)
             updates, opt_state = opt.update(grads, opt_state)
+            updates = jax.tree.map(
+                lambda u, s: u * s, updates,
+                _lr_tree(step0 + i.astype(jnp.float32)))
             raw = optax.apply_updates(raw, updates)
             return (raw, opt_state, gsum + gnorm), loss
 
         gsum0 = jnp.zeros(raw.means.shape[0], jnp.float32)
         (raw, opt_state, gsum), losses = jax.lax.scan(
-            body, (raw, opt_state, gsum0), None, length=length)
+            body, (raw, opt_state, gsum0), jnp.arange(length))
         return raw, opt_state, gsum, losses
 
     if densify_every and densify_every > 0:
@@ -470,9 +492,11 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
     all_losses = []
     densify_log = []
     opt_state = opt.init(raw)
+    step_offset = 0
     for i, seg in enumerate(seg_lengths):
-        raw, opt_state, gsum, losses = run_segment(raw, opt_state,
-                                                   length=seg)
+        raw, opt_state, gsum, losses = run_segment(
+            raw, opt_state, jnp.float32(step_offset), length=seg)
+        step_offset += seg
         all_losses.append(losses)
         if densify_every and i < len(seg_lengths) - 1:
             raw, stats = densify_and_prune(
