@@ -515,7 +515,8 @@ def cmd_fit(args) -> int:
               dssim_weight=args.dssim,
               lr_decay=({"means": args.means_lr_decay}
                         if args.means_lr_decay != 1.0 else None),
-              densify_every=args.densify_every)
+              densify_every=args.densify_every,
+              opacity_reset_every=args.opacity_reset_every)
     dt = time.time() - t0
     print(f"fit in {dt:.0f}s: loss {float(res.losses[0]):.5f} -> "
           f"{float(res.losses[-1]):.5f} "
@@ -660,6 +661,10 @@ def main(argv=None) -> int:
     p.add_argument("--densify-every", type=int, default=0,
                    help="adaptive density control (clone/split/prune) "
                         "every K steps (0 = off)")
+    p.add_argument("--opacity-reset-every", type=int, default=0,
+                   help="INRIA recipe: every K steps clamp all opacities "
+                        "to <= 0.01 so floaters must re-earn their alpha "
+                        "(pair with --densify-every; 0 = off)")
     p.add_argument("--means-lr-decay", type=float, default=0.01,
                    help="total exponential decay of the positional lr "
                         "over the run (the INRIA recipe's position "

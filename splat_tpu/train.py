@@ -371,6 +371,7 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
         l1_weight: float = 0.2, chunk: int = 16,
         dssim_weight: float = 0.0, method: str = "dense",
         densify_every: int = 0, densify_kwargs: dict | None = None,
+        opacity_reset_every: int = 0, opacity_reset_to: float = 0.01,
         mesh=None, loss_fn: Callable | None = None) -> FitResult:
     """Fit ``scene`` to ``targets`` rendered from ``cameras``.
 
@@ -400,6 +401,11 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
         the gaussian count, so each visited padded shape compiles once
         (bucketed by densify_and_prune's pad_multiple; the persistent
         cache remembers buckets across runs).
+      opacity_reset_every: when > 0, every that many steps clamp every
+        opacity to at most ``opacity_reset_to`` (INRIA recipe's periodic
+        opacity reset: floaters must re-earn their alpha or be pruned by
+        the next densification round).  The opacity group's adam moments
+        reset surgically; other leaves keep their state.
       loss_fn: optional ``loss_fn(raw) -> scalar`` override; default is
         :func:`photometric_loss` over all views.
 
@@ -482,28 +488,46 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
             body, (raw, opt_state, gsum0), jnp.arange(length))
         return raw, opt_state, gsum, losses
 
-    if densify_every and densify_every > 0:
-        seg_lengths = [densify_every] * (steps // densify_every)
-        if steps % densify_every:
-            seg_lengths.append(steps % densify_every)
-    else:
-        seg_lengths = [steps]
+    # Segment boundaries: the union of densification and opacity-reset
+    # events (each segment is one jitted lax.scan; events are host-side
+    # python between segments — the classic phase structure).
+    bounds: set[int] = set()
+    for k in (densify_every, opacity_reset_every):
+        if k and k > 0:
+            bounds.update(range(k, steps, k))
+    edges = [0] + sorted(bounds) + [steps]
 
     all_losses = []
     densify_log = []
     opt_state = opt.init(raw)
-    step_offset = 0
-    for i, seg in enumerate(seg_lengths):
+    for i in range(len(edges) - 1):
+        b0, b1 = edges[i], edges[i + 1]
+        seg = b1 - b0
         raw, opt_state, gsum, losses = run_segment(
-            raw, opt_state, jnp.float32(step_offset), length=seg)
-        step_offset += seg
+            raw, opt_state, jnp.float32(b0), length=seg)
         all_losses.append(losses)
-        if densify_every and i < len(seg_lengths) - 1:
+        if b1 == steps:
+            break
+        if densify_every and b1 % densify_every == 0:
             raw, stats = densify_and_prune(
                 raw, jnp.asarray(gsum) / seg,
                 **(densify_kwargs or {}))
             densify_log.append(stats)
             opt_state = opt.init(raw)  # topology changed
+        if opacity_reset_every and b1 % opacity_reset_every == 0:
+            # INRIA recipe: clamp every opacity down to a small value so
+            # floaters must re-earn their alpha; the opacity group's adam
+            # moments reset surgically (stale momentum would instantly
+            # undo the clamp), everything else keeps its state.
+            cap = math.log(opacity_reset_to / (1.0 - opacity_reset_to))
+            raw = dataclasses.replace(
+                raw, logit_opacities=jnp.minimum(
+                    raw.logit_opacities, jnp.float32(cap)))
+            fresh = opt.init(raw)
+            opt_state = opt_state._replace(inner_states={
+                **opt_state.inner_states,
+                "logit_opacities":
+                    fresh.inner_states["logit_opacities"]})
 
     losses = jnp.concatenate(all_losses)
     final = float(losses[-1])

@@ -402,3 +402,39 @@ def test_fit_lr_decay_schedule():
                lr_decay={"means": 1e-6}, densify_every=6,
                densify_kwargs={"pad_multiple": 4})
     assert np.isfinite(np.asarray(res3.losses)).all()
+
+
+def test_fit_opacity_reset():
+    """opacity_reset_every clamps every opacity to <= reset_to at the
+    boundary (INRIA's periodic reset) with a surgical adam-state reset
+    for the opacity group only; training continues and stays finite."""
+    from splat_tpu.train import RawParams
+
+    true_scene = _device_scene(random_scene(6, seed=9, extent=0.8,
+                                            scale_range=(0.15, 0.3)))
+    true_scene = dataclasses.replace(
+        true_scene, opacities=jnp.clip(true_scene.opacities, 0.6, 0.9))
+    cams = orbit_trajectory(Camera.create(h=16, w=16,
+                                          position=(0.0, 0.0, 3.0)),
+                            num_frames=2, yaw_sweep=1.0)
+    config = RenderConfig(sh_degree=0)
+    targets = jax.vmap(lambda c: render_dense(true_scene, c, config))(cams)
+
+    # one step right after the reset boundary: opacities must still be
+    # near the clamp (a single adam step moves a logit by ~lr)
+    res = fit(true_scene, cams, targets, steps=7, lr=1e-3, config=config,
+              opacity_reset_every=6, opacity_reset_to=0.01)
+    op = np.asarray(res.scene.opacities)
+    assert op.max() < 0.02, op.max()
+    assert np.isfinite(np.asarray(res.losses)).all()
+
+    # without the reset the opacities stay where they were
+    res2 = fit(true_scene, cams, targets, steps=7, lr=1e-3, config=config)
+    assert np.asarray(res2.scene.opacities).max() > 0.5
+
+    # combined with densification at a shared boundary (densify first,
+    # reset after, on the re-bucketed topology)
+    res3 = fit(true_scene, cams, targets, steps=7, lr=1e-3, config=config,
+               opacity_reset_every=6, densify_every=3,
+               densify_kwargs={"pad_multiple": 4})
+    assert np.isfinite(np.asarray(res3.losses)).all()
