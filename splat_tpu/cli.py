@@ -516,7 +516,8 @@ def cmd_fit(args) -> int:
               lr_decay=({"means": args.means_lr_decay}
                         if args.means_lr_decay != 1.0 else None),
               densify_every=args.densify_every,
-              opacity_reset_every=args.opacity_reset_every)
+              opacity_reset_every=args.opacity_reset_every,
+              sh_warmup_every=args.sh_warmup_every)
     dt = time.time() - t0
     print(f"fit in {dt:.0f}s: loss {float(res.losses[0]):.5f} -> "
           f"{float(res.losses[-1]):.5f} "
@@ -661,6 +662,10 @@ def main(argv=None) -> int:
     p.add_argument("--densify-every", type=int, default=0,
                    help="adaptive density control (clone/split/prune) "
                         "every K steps (0 = off)")
+    p.add_argument("--sh-warmup-every", type=int, default=0,
+                   help="INRIA recipe: start at SH degree 0 and raise "
+                        "the active degree by one every K steps up to "
+                        "--sh-degree (0 = no warmup)")
     p.add_argument("--opacity-reset-every", type=int, default=0,
                    help="INRIA recipe: every K steps clamp all opacities "
                         "to <= 0.01 so floaters must re-earn their alpha "

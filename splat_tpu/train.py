@@ -372,6 +372,7 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
         dssim_weight: float = 0.0, method: str = "dense",
         densify_every: int = 0, densify_kwargs: dict | None = None,
         opacity_reset_every: int = 0, opacity_reset_to: float = 0.01,
+        sh_warmup_every: int = 0,
         mesh=None, loss_fn: Callable | None = None) -> FitResult:
     """Fit ``scene`` to ``targets`` rendered from ``cameras``.
 
@@ -406,6 +407,12 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
         opacity reset: floaters must re-earn their alpha or be pruned by
         the next densification round).  The opacity group's adam moments
         reset surgically; other leaves keep their state.
+      sh_warmup_every: when > 0, start optimizing with SH degree 0 (DC
+        color only) and raise the active degree by one every that many
+        steps up to ``config.sh_degree`` — the INRIA recipe's SH warmup
+        (low-frequency color stabilizes geometry before view-dependent
+        terms join).  Each degree compiles its own segment; higher-order
+        coefficients hold their init until activated (zero gradient).
       loss_fn: optional ``loss_fn(raw) -> scalar`` override; default is
         :func:`photometric_loss` over all views.
 
@@ -421,7 +428,11 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
     targets = jnp.asarray(targets, jnp.float32)
 
     raw = RawParams.from_scene(scene)
-    if loss_fn is None:
+    if loss_fn is not None and sh_warmup_every:
+        raise ValueError("sh_warmup_every needs the built-in loss "
+                         "(drives config.sh_degree); drop loss_fn")
+
+    def _build_loss(cfg):
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
 
@@ -433,7 +444,7 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
             cam_specs = jax.tree.map(lambda _: P("d"), cameras)
 
             def shard_loss(r, cams_l, targets_l):
-                l = photometric_loss(r, cams_l, targets_l, config,
+                l = photometric_loss(r, cams_l, targets_l, cfg,
                                      l1_weight, chunk,
                                      dssim_weight=dssim_weight,
                                      method=method)
@@ -444,13 +455,23 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
                 in_specs=(jax.tree.map(lambda _: P(), raw), cam_specs,
                           P("d")),
                 out_specs=P(), check_vma=False)
-            loss_fn = lambda r: mapped(r, cameras, targets)
-        else:
-            loss_fn = lambda r: photometric_loss(
-                r, cameras, targets, config, l1_weight, chunk,
-                dssim_weight=dssim_weight, method=method)
-        if method == "tiled":
-            _check_tiled_capacity(scene, cameras, config)
+            return lambda r: mapped(r, cameras, targets)
+        return lambda r: photometric_loss(
+            r, cameras, targets, cfg, l1_weight, chunk,
+            dssim_weight=dssim_weight, method=method)
+
+    _loss_cache: dict = {}
+
+    def _loss_for_degree(deg):
+        if loss_fn is not None:
+            return loss_fn
+        if deg not in _loss_cache:
+            _loss_cache[deg] = _build_loss(
+                dataclasses.replace(config, sh_degree=deg))
+        return _loss_cache[deg]
+
+    if loss_fn is None and method == "tiled":
+        _check_tiled_capacity(scene, cameras, config)
 
     label_tree = RawParams(means="means", quats="quats",
                            log_scales="log_scales",
@@ -470,11 +491,11 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
             * jnp.exp(frac * jnp.float32(math.log(decay[name]))),
             label_tree)
 
-    @partial(jax.jit, static_argnames=("length",))
-    def run_segment(raw, opt_state, step0, length):
+    @partial(jax.jit, static_argnames=("length", "seg_loss"))
+    def run_segment(raw, opt_state, step0, length, seg_loss):
         def body(carry, i):
             raw, opt_state, gsum = carry
-            loss, grads = jax.value_and_grad(loss_fn)(raw)
+            loss, grads = jax.value_and_grad(seg_loss)(raw)
             gnorm = jnp.linalg.norm(grads.means, axis=1)
             updates, opt_state = opt.update(grads, opt_state)
             updates = jax.tree.map(
@@ -488,14 +509,24 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
             body, (raw, opt_state, gsum0), jnp.arange(length))
         return raw, opt_state, gsum, losses
 
-    # Segment boundaries: the union of densification and opacity-reset
-    # events (each segment is one jitted lax.scan; events are host-side
-    # python between segments — the classic phase structure).
+    # Segment boundaries: the union of densification, opacity-reset, and
+    # SH-warmup events (each segment is one jitted lax.scan; events are
+    # host-side python between segments — the classic phase structure).
     bounds: set[int] = set()
     for k in (densify_every, opacity_reset_every):
         if k and k > 0:
             bounds.update(range(k, steps, k))
+    if sh_warmup_every and sh_warmup_every > 0:
+        bounds.update(range(sh_warmup_every,
+                            min(config.sh_degree * sh_warmup_every + 1,
+                                steps),
+                            sh_warmup_every))
     edges = [0] + sorted(bounds) + [steps]
+
+    def _degree_at(step):
+        if not sh_warmup_every:
+            return config.sh_degree
+        return min(config.sh_degree, step // sh_warmup_every)
 
     all_losses = []
     densify_log = []
@@ -504,7 +535,8 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
         b0, b1 = edges[i], edges[i + 1]
         seg = b1 - b0
         raw, opt_state, gsum, losses = run_segment(
-            raw, opt_state, jnp.float32(b0), length=seg)
+            raw, opt_state, jnp.float32(b0), length=seg,
+            seg_loss=_loss_for_degree(_degree_at(b0)))
         all_losses.append(losses)
         if b1 == steps:
             break

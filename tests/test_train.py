@@ -438,3 +438,38 @@ def test_fit_opacity_reset():
                opacity_reset_every=6, densify_every=3,
                densify_kwargs={"pad_multiple": 4})
     assert np.isfinite(np.asarray(res3.losses)).all()
+
+
+def test_fit_sh_warmup():
+    """sh_warmup_every raises the active SH degree from 0 by one every K
+    steps (INRIA warmup): during the degree-0 phase the higher-order
+    coefficients hold their init exactly (zero gradient), and by the end
+    of a full warmup they are training."""
+    from splat_tpu.train import RawParams
+
+    true_scene = _device_scene(random_scene(6, seed=9, extent=0.8,
+                                            scale_range=(0.15, 0.3)))
+    cams = orbit_trajectory(Camera.create(h=16, w=16,
+                                          position=(0.0, 0.0, 3.0)),
+                            num_frames=2, yaw_sweep=1.0)
+    config = RenderConfig(sh_degree=3)
+    targets = jax.vmap(lambda c: render_dense(true_scene, c, config))(cams)
+    rng = np.random.default_rng(1)
+    start = dataclasses.replace(
+        true_scene, sh=true_scene.sh + jnp.asarray(
+            rng.normal(0, 0.3, true_scene.sh.shape), jnp.float32))
+    sh0 = np.asarray(RawParams.from_scene(start).sh)
+
+    # steps < warmup: the whole run is degree 0 — bands 1+ must be
+    # bit-untouched while the DC band moves
+    res0 = fit(start, cams, targets, steps=4, lr=1e-2, config=config,
+               sh_warmup_every=8)
+    sh_after = np.asarray(res0.raw.sh)
+    np.testing.assert_array_equal(sh_after[:, 3:], sh0[:, 3:])
+    assert np.abs(sh_after[:, :3] - sh0[:, :3]).max() > 0
+
+    # a full warmup reaches degree 3 and trains the high bands too
+    res = fit(start, cams, targets, steps=8, lr=1e-2, config=config,
+              sh_warmup_every=2)
+    assert np.isfinite(np.asarray(res.losses)).all()
+    assert np.abs(np.asarray(res.raw.sh)[:, 3:] - sh0[:, 3:]).max() > 0
