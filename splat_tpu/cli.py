@@ -517,7 +517,10 @@ def cmd_fit(args) -> int:
                         if args.means_lr_decay != 1.0 else None),
               densify_every=args.densify_every,
               opacity_reset_every=args.opacity_reset_every,
-              sh_warmup_every=args.sh_warmup_every)
+              sh_warmup_every=args.sh_warmup_every,
+              progress_cb=lambda s, l, n: print(
+                  f"  step {s}/{args.steps}: loss {l:.5f} "
+                  f"({n} gaussians)", flush=True))
     dt = time.time() - t0
     print(f"fit in {dt:.0f}s: loss {float(res.losses[0]):.5f} -> "
           f"{float(res.losses[-1]):.5f} "
@@ -534,6 +537,31 @@ def cmd_fit(args) -> int:
           f"(per view: {', '.join(f'{p:.1f}' for p in ps)})")
     st.save_ply(args.out, scene_np)
     print(f"wrote {args.out} ({scene_np.num_gaussians} gaussians)")
+    return 0
+
+
+def cmd_psnr(args) -> int:
+    """Compare two PNGs (e.g. a render against a golden image): prints a
+    JSON line with psnr/mse/max-abs — the suite's parity metric as a
+    shell tool."""
+    import numpy as np
+
+    from splat_tpu.utils.image import psnr, read_png
+
+    a = read_png(args.a).astype(np.float32) / 255.0
+    b = read_png(args.b).astype(np.float32) / 255.0
+    if a.shape[-1] != b.shape[-1]:  # RGB vs RGBA: compare color planes
+        a, b = a[..., :3], b[..., :3]
+    if a.shape != b.shape:
+        raise SystemExit(f"shape mismatch: {args.a} {a.shape} vs "
+                         f"{args.b} {b.shape}")
+    diff = np.abs(a - b)
+    print(json.dumps({
+        "psnr_db": round(float(psnr(a, b)), 3),
+        "mse": float(np.mean(diff * diff)),
+        "max_abs": float(diff.max()),
+        "shape": list(a.shape),
+    }))
     return 0
 
 
@@ -677,6 +705,13 @@ def main(argv=None) -> int:
                         "constant lr")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_fit)
+
+    p = sub.add_parser("psnr", help="compare two PNGs (PSNR/MSE/max-abs "
+                       "as one JSON line — the suite's parity metric as "
+                       "a shell tool)")
+    p.add_argument("a")
+    p.add_argument("b")
+    p.set_defaults(fn=cmd_psnr)
 
     p = sub.add_parser("bench", help="device-chained frame timing")
     p.add_argument("scene", nargs="?")

@@ -373,7 +373,8 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
         densify_every: int = 0, densify_kwargs: dict | None = None,
         opacity_reset_every: int = 0, opacity_reset_to: float = 0.01,
         sh_warmup_every: int = 0,
-        mesh=None, loss_fn: Callable | None = None) -> FitResult:
+        mesh=None, loss_fn: Callable | None = None,
+        progress_cb: Callable | None = None) -> FitResult:
     """Fit ``scene`` to ``targets`` rendered from ``cameras``.
 
     Args:
@@ -415,6 +416,9 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
         coefficients hold their init until activated (zero gradient).
       loss_fn: optional ``loss_fn(raw) -> scalar`` override; default is
         :func:`photometric_loss` over all views.
+      progress_cb: optional ``cb(step, loss, num_gaussians)`` called
+        after every segment (host-side, between the jitted scans) —
+        progress reporting for long densify/warmup runs.
 
     Returns a :class:`FitResult`; ``losses[0]`` is the pre-step loss so
     ``losses[0] / final_loss`` measures convergence, and
@@ -538,6 +542,8 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
             raw, opt_state, jnp.float32(b0), length=seg,
             seg_loss=_loss_for_degree(_degree_at(b0)))
         all_losses.append(losses)
+        if progress_cb is not None:
+            progress_cb(b1, float(losses[-1]), raw.means.shape[0])
         if b1 == steps:
             break
         if densify_every and b1 % densify_every == 0:

@@ -192,3 +192,22 @@ def test_orbit_custom_path(scene_ply, tmp_path):
     b = read_png(os.path.join(outdir, frames[-1])).astype(np.int32)
     assert a.shape == (32, 48, 3)
     assert np.abs(a - b).max() > 0  # the camera moved
+
+
+def test_psnr_command(scene_ply, tmp_path, capsys):
+    """`psnr a.png b.png` prints one JSON line with the parity metric;
+    identical images report >= 100 dB (exact-match clamp)."""
+    out1 = str(tmp_path / "a.png")
+    out2 = str(tmp_path / "b.png")
+    assert main(["render", scene_ply, "--size", "48x32", "--pos", "0,0,4",
+                 "--out", out1]) == 0
+    assert main(["render", scene_ply, "--size", "48x32", "--pos", "0,0,4",
+                 "--yaw", "0.3", "--out", out2]) == 0
+    capsys.readouterr()
+    assert main(["psnr", out1, out1]) == 0
+    same = json.loads(capsys.readouterr().out)
+    assert same["psnr_db"] >= 100.0 and same["max_abs"] == 0.0
+    assert main(["psnr", out1, out2]) == 0
+    diff = json.loads(capsys.readouterr().out)
+    assert diff["psnr_db"] < same["psnr_db"]
+    assert diff["max_abs"] > 0
