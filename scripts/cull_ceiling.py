@@ -78,20 +78,24 @@ def analyze(kind):
     ddy = np.maximum(np.maximum(y0 - cyg, cyg - (y0 + TP)), 0.0)
     dead_circle = ddx * ddx + ddy * ddy > r_cull2
 
-    # exact test: min over rect of q(p) = A u^2 + 2 B u v + C v^2,
-    # u = px - cxg, v = py - cyg.  If center inside rect -> 0.
+    # exact test: min over rect of the kernel's quadratic.  The kernel
+    # evaluates power = -(a dx^2 + c dy^2 + 2 b dx dy)/2 with
+    # dx = px - cx, dy = cy - py (kernels.py composite_rows; oracle.py
+    # agrees), so in u = px - cx, v = py - cy the kill quadratic is
+    # q(u, v) = A u^2 - 2 B u v + C v^2 (note the MINUS: dy = -v flips
+    # the cross term).  If the center is inside the rect the min is 0.
     ux0, ux1 = x0 - cxg, x0 + TP - cxg     # u range
     vy0, vy1 = y0 - cyg, y0 + TP - cyg     # v range
     inside = (ux0 <= 0) & (ux1 >= 0) & (vy0 <= 0) & (vy1 >= 0)
 
     def edge_min_u(ufix, vlo, vhi):
-        # q(v) = C v^2 + 2 B ufix v + A ufix^2; vertex v* = -B ufix / C
-        vstar = np.clip(-B * ufix / np.maximum(C, 1e-300), vlo, vhi)
-        return A * ufix * ufix + 2 * B * ufix * vstar + C * vstar * vstar
+        # q(v) = C v^2 - 2 B ufix v + A ufix^2; vertex v* = B ufix / C
+        vstar = np.clip(B * ufix / np.maximum(C, 1e-300), vlo, vhi)
+        return A * ufix * ufix - 2 * B * ufix * vstar + C * vstar * vstar
 
     def edge_min_v(vfix, ulo, uhi):
-        ustar = np.clip(-B * vfix / np.maximum(A, 1e-300), ulo, uhi)
-        return A * ustar * ustar + 2 * B * ustar * vfix + C * vfix * vfix
+        ustar = np.clip(B * vfix / np.maximum(A, 1e-300), ulo, uhi)
+        return A * ustar * ustar - 2 * B * ustar * vfix + C * vfix * vfix
 
     qmin = np.minimum(
         np.minimum(edge_min_u(ux0, vy0, vy1), edge_min_u(ux1, vy0, vy1)),

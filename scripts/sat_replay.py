@@ -23,7 +23,7 @@ H, W, N, TP, CHUNK = 1080, 1920, 1_000_000, 32, 128
 ALPHA_MIN, ALPHA_CLAMP = 1.0 / 255.0, 0.99
 
 
-def replay(kind, dup):
+def replay(kind):
     if kind == "surface":
         scene = st.surface_scene(N, seed=0)
     else:
@@ -127,5 +127,5 @@ def replay(kind, dup):
         print(f"    {tuple(int(x) for x in st_[i])}")
 
 
-replay("surface", 1.45)
-replay("random", 2.05)
+replay("surface")
+replay("random")

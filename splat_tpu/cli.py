@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -440,6 +441,13 @@ def cmd_fit(args) -> int:
     if args.distill:
         # center=False: the fitted scene must live in REF's coordinates
         ref = load_scene_cached(args.distill, center=False)
+        # pack once when the tiled path will render the targets:
+        # render() would otherwise re-pack the big REF per view (the
+        # dense path takes the GaussianScene as-is)
+        from splat_tpu.render.api import resolve_method
+        ref_render = (ref.pack_device()
+                      if resolve_method(args.method, ref) == "tiled"
+                      else ref)
         base = Camera.create(h=h, w=w, position=_parse_vec(args.pos, 3),
                              target=_parse_vec(args.target, 3), fovy=fovy)
         cams = orbit_trajectory(base, num_frames=args.views,
@@ -451,7 +459,7 @@ def cmd_fit(args) -> int:
         print(f"rendering {args.views} target views from "
               f"{args.distill} at {w}x{h}...")
         targets = jnp.stack([
-            jnp.asarray(st.render(ref, c, method=args.method))
+            jnp.asarray(st.render(ref_render, c, method=args.method))
             for c in cam_list])
     elif args.targets:
         if not args.cameras:
@@ -556,8 +564,12 @@ def cmd_psnr(args) -> int:
         raise SystemExit(f"shape mismatch: {args.a} {a.shape} vs "
                          f"{args.b} {b.shape}")
     diff = np.abs(a - b)
+    p = float(psnr(a, b))
     print(json.dumps({
-        "psnr_db": round(float(psnr(a, b)), 3),
+        # exact matches clamp to 999.0: float('inf') would serialize as
+        # the bare token `Infinity`, which strict JSON parsers (jq,
+        # JSON.parse) reject
+        "psnr_db": round(p, 3) if math.isfinite(p) else 999.0,
         "mse": float(np.mean(diff * diff)),
         "max_abs": float(diff.max()),
         "shape": list(a.shape),

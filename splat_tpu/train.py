@@ -428,6 +428,13 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
 
     config = config or RenderConfig()
     scales = dict(DEFAULT_LR_SCALES)
+    for name, d in (("lr_scales", lr_scales), ("lr_decay", lr_decay)):
+        bad = set(d or {}) - set(scales)
+        if bad:
+            raise ValueError(
+                f"{name} keys {sorted(bad)} are not RawParams leaves "
+                f"{sorted(scales)} — a typo here would silently disable "
+                f"the override")
     scales.update(lr_scales or {})
     targets = jnp.asarray(targets, jnp.float32)
 
@@ -535,6 +542,11 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
     all_losses = []
     densify_log = []
     opt_state = opt.init(raw)
+    # Positional-gradient statistic for densification accumulates over
+    # the FULL window since the last densification (the recipe's
+    # definition), even when warmup/opacity-reset boundaries split that
+    # window into several jitted segments.
+    gsum_acc, gsteps = None, 0
     for i in range(len(edges) - 1):
         b0, b1 = edges[i], edges[i + 1]
         seg = b1 - b0
@@ -542,16 +554,19 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
             raw, opt_state, jnp.float32(b0), length=seg,
             seg_loss=_loss_for_degree(_degree_at(b0)))
         all_losses.append(losses)
+        gsum_acc = gsum if gsum_acc is None else gsum_acc + gsum
+        gsteps += seg
         if progress_cb is not None:
             progress_cb(b1, float(losses[-1]), raw.means.shape[0])
         if b1 == steps:
             break
         if densify_every and b1 % densify_every == 0:
             raw, stats = densify_and_prune(
-                raw, jnp.asarray(gsum) / seg,
+                raw, jnp.asarray(gsum_acc) / gsteps,
                 **(densify_kwargs or {}))
             densify_log.append(stats)
             opt_state = opt.init(raw)  # topology changed
+            gsum_acc, gsteps = None, 0  # stats window restarts
         if opacity_reset_every and b1 % opacity_reset_every == 0:
             # INRIA recipe: clamp every opacity down to a small value so
             # floaters must re-earn their alpha; the opacity group's adam

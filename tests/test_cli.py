@@ -205,8 +205,10 @@ def test_psnr_command(scene_ply, tmp_path, capsys):
                  "--yaw", "0.3", "--out", out2]) == 0
     capsys.readouterr()
     assert main(["psnr", out1, out1]) == 0
-    same = json.loads(capsys.readouterr().out)
-    assert same["psnr_db"] >= 100.0 and same["max_abs"] == 0.0
+    raw = capsys.readouterr().out
+    assert "Infinity" not in raw  # strict-JSON contract (jq/JSON.parse)
+    same = json.loads(raw)
+    assert same["psnr_db"] == 999.0 and same["max_abs"] == 0.0
     assert main(["psnr", out1, out2]) == 0
     diff = json.loads(capsys.readouterr().out)
     assert diff["psnr_db"] < same["psnr_db"]

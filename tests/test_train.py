@@ -10,6 +10,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from splat_tpu.camera import Camera, orbit_trajectory
 from splat_tpu.config import RenderConfig
@@ -504,3 +505,20 @@ def test_fit_from_scratch_full_recipe():
     p_fit = float(psnr(render_dense(res.scene, cam0, config), targets[0]))
     assert p_fit - p_start > 5.0, (p_start, p_fit)
     assert res.densify_log, "densification never ran"
+
+
+def test_fit_rejects_unknown_lr_keys():
+    """A typo'd lr_scales/lr_decay key must raise, not silently disable
+    the override ('opacities' is not a leaf; 'logit_opacities' is)."""
+    scene = _device_scene(random_scene(4, seed=0, extent=0.5))
+    cams = orbit_trajectory(Camera.create(h=8, w=8,
+                                          position=(0.0, 0.0, 3.0)),
+                            num_frames=1)
+    config = RenderConfig(sh_degree=0)
+    targets = jax.vmap(lambda c: render_dense(scene, c, config))(cams)
+    with pytest.raises(ValueError, match="opacities"):
+        fit(scene, cams, targets, steps=1, config=config,
+            lr_decay={"opacities": 0.01})
+    with pytest.raises(ValueError, match="mean"):
+        fit(scene, cams, targets, steps=1, config=config,
+            lr_scales={"mean": 0.1})
