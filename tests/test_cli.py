@@ -213,3 +213,17 @@ def test_psnr_command(scene_ply, tmp_path, capsys):
     diff = json.loads(capsys.readouterr().out)
     assert diff["psnr_db"] < same["psnr_db"]
     assert diff["max_abs"] > 0
+
+
+def test_fit_distill_tiled_targets(scene_ply, tmp_path):
+    """--method tiled exercises the pack-once distill branch (the
+    reference scene converts to the feature-major DeviceScene a single
+    time before the per-view target renders)."""
+    from splat_tpu.io.ply import load_ply
+
+    out = str(tmp_path / "fitted3.ply")
+    rc = main(["fit", "--distill", scene_ply, "--method", "tiled",
+               "--init-n", "64", "--views", "2", "--size", "48x32",
+               "--steps", "3", "--fit-method", "dense", "--out", out])
+    assert rc == 0
+    assert load_ply(out, center=False).num_gaussians == 64
