@@ -235,6 +235,15 @@ def cmd_render(args) -> int:
     # The reference prints per-frame timing (src/main.rs:77).
     print(f"Rendering took {(time.time() - t0) * 1e3:.1f} ms "
           f"(N={scene.num_gaussians}, {cam.w}x{cam.h}, incl. compile)")
+    if getattr(args, "stats", False):
+        from splat_tpu.render.api import resolve_method
+        if resolve_method(args.method, scene) == "tiled":
+            from splat_tpu.utils.diagnostics import frame_report
+            print(json.dumps(frame_report(scene, cam, config)),
+                  file=sys.stderr)
+        else:
+            print("--stats: dense path has no binning stats",
+                  file=sys.stderr)
     write_png(args.out, img)
     print(f"wrote {args.out}")
     return 0
@@ -598,6 +607,10 @@ def main(argv=None) -> int:
     p.add_argument("scene", nargs="?", help="3DGS .ply")
     _add_render_flags(p)
     p.add_argument("--out", default="frame.png")
+    p.add_argument("--stats", action="store_true",
+                   help="print the frame report (visible/pair counts, "
+                        "tile occupancy, overflow) as JSON on stderr — "
+                        "deployment capacity sizing")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("orbit", help="render an orbit trajectory")

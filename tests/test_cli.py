@@ -227,3 +227,17 @@ def test_fit_distill_tiled_targets(scene_ply, tmp_path):
                "--steps", "3", "--fit-method", "dense", "--out", out])
     assert rc == 0
     assert load_ply(out, center=False).num_gaussians == 64
+
+
+def test_render_stats_flag(scene_ply, tmp_path, capsys):
+    """render --stats prints the frame report JSON on stderr (tiled
+    path): pair/visible counts, tile occupancy, overflow."""
+    out = str(tmp_path / "s.png")
+    rc = main(["render", scene_ply, "--size", "64x64", "--pos", "0,0,4",
+               "--method", "tiled", "--dup-factor", "8", "--stats",
+               "--out", out])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert report["overflow"] == 0
+    assert report["num_pairs"] > 0
+    assert report["width"] == 64
