@@ -94,6 +94,17 @@ def main():
     run("4_mipnerf360_1080p", 1_000_000, 1080, 1920, RenderConfig())
     run("5_orbit_120f_1080p", 1_000_000, 1080, 1920, RenderConfig(),
         frames=120 // div if not args.quick else 12)
+    # Round-4 extended rows (BASELINE.md ladder 4+): resolution and
+    # gaussian-count scale.  Capacities per the measured pair loads
+    # (overflow is audited by the per-row pair counts staying < cap).
+    run("4b_1440p", 1_000_000, 1440, 2560,
+        RenderConfig(max_dup_factor=2.7))
+    run("4c_4k_tile64", 1_000_000, 2160, 3840,
+        RenderConfig(tile_px=64, max_dup_factor=2.05))
+    run("4d_3M_1080p", 3_000_000, 1080, 1920,
+        RenderConfig(max_dup_factor=2.1))
+    run("4e_6M_1080p", 6_000_000, 1080, 1920,
+        RenderConfig(max_dup_factor=2.2))
 
     with open(args.out, "w") as f:
         json.dump({"results": results}, f, indent=2)
