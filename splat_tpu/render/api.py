@@ -7,7 +7,7 @@ input (the reference's dirty-flag re-render loop at src/main.rs:69-78 maps to
 
 from __future__ import annotations
 
-
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -80,6 +80,20 @@ def auto_config(scene, camera: Camera, config: RenderConfig | None = None,
     return dataclasses.replace(config, max_dup_factor=dup)
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def _count_pairs_jit(scene, camera, config):
+    # Module-level so the jit cache persists across pair_stats calls: a
+    # per-call closure would retrace+recompile for EVERY view of a
+    # multi-view capacity audit (train._check_tiled_capacity), ~100 ms
+    # of dispatch each on this backend; the pose is a traced pytree leaf
+    # so all views of one (shape, config) share a single compile.
+    from splat_tpu.ops.projection import project_gaussians
+    from splat_tpu.render.binning import count_pairs
+
+    proj = project_gaussians(scene, camera, config)
+    return count_pairs(proj, camera.h, camera.w, config)
+
+
 def pair_stats(scene, camera: Camera, config: RenderConfig | None = None):
     """Measure the scene's true (gaussian, tile) pair load at a pose.
 
@@ -99,9 +113,6 @@ def pair_stats(scene, camera: Camera, config: RenderConfig | None = None):
     expansion kernel needs — binning.py step 1), so slots = pairs +
     (n - visible); in rank mode slots = pairs.
     """
-    from splat_tpu.ops.projection import project_gaussians
-    from splat_tpu.render.binning import count_pairs
-
     config = config or RenderConfig()
     if config.supersample > 1:
         # render_tiled bins at the supersampled resolution; the capacity
@@ -111,12 +122,8 @@ def pair_stats(scene, camera: Camera, config: RenderConfig | None = None):
         camera = dataclasses.replace(camera, h=camera.h * config.supersample,
                                      w=camera.w * config.supersample)
 
-    @jax.jit
-    def f(scene, camera):
-        proj = project_gaussians(scene, camera, config)
-        return count_pairs(proj, camera.h, camera.w, config)
-
-    visible, pairs = (int(x) for x in jax.device_get(f(scene, camera)))
+    visible, pairs = (int(x) for x in jax.device_get(
+        _count_pairs_jit(scene, camera, config)))
     n = scene.num_gaussians
     slots = pairs + (n - visible if config.binning_key == "depth" else 0)
     per = pairs / max(n, 1)

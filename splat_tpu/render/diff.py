@@ -56,7 +56,8 @@ Non-differentiable machinery (depth ordering, tile spans, the sort,
 visibility/keep indicators, radii) correctly contributes zero cotangent.
 
 Restrictions (checked): render_mode="color", binning_key="depth",
-subtile_exit off, cull_pairs off — the production defaults.
+subtile_exit off, cull_pairs off, transmit_mxu on — the production
+defaults.
 
 Match: beyond the reference (no training anywhere in it); the dense-path
 gradients this extends are train.py; the INRIA backward this
@@ -321,7 +322,15 @@ def _bwd_kernel(start_ref, end_ref, padbase_ref, feat_hbm,
             x = jnp.log1p(-jnp.minimum(alpha, 0.999999))
         ssum = _dekker_dot(x, suf_incl)               # inclusive suffix
         lt_i = lt_end - ssum                           # logT before pair i
-        t_i = jnp.exp(lt_i)
+        # Crop-padded pixels (h/w not tile multiples) enter with a ZERO
+        # logT anchor (their true forward value was cropped away), so
+        # their reconstructed lt_i grows large-POSITIVE under heavy
+        # occlusion and exp would overflow to inf — turning their zero
+        # cotangents into inf*0 = NaN, which the pixel reduction then
+        # spreads to every per-pair gradient in the window.  True logT
+        # is <= 0 by construction, so the clamp is exact for real pixels
+        # and forces pad pixels' contributions to exact zeros.
+        t_i = jnp.exp(jnp.minimum(lt_i, 0.0))
         wgt = alpha * t_i                              # w_i = alpha T_i
 
         # ĝc_i = sum_c gC_c c_{i,c}: a contraction of length THREE — as a
@@ -336,7 +345,15 @@ def _bwd_kernel(start_ref, end_ref, padbase_ref, feat_hbm,
         # D_i = glogT + suffix_excl(gw) + carry-from-later-windows
         gw_suf = _dekker_dot(gw, suf_excl)
         d_i = d_carry + gw_suf
-        da = t_i * gc_w - d_i / (1.0 - alpha)
+        if alpha_clamp < 0.999999:
+            denom = 1.0 - alpha
+        else:
+            # alpha can reach exactly 1.0 in the clamp~1 regime (u16
+            # opacity 65535 at a pixel where exp(power) rounds to 1);
+            # those lanes are masked below, but inf * 0 = NaN — guard
+            # the denominator the same way the forward guards its log.
+            denom = 1.0 - jnp.minimum(alpha, 0.999999)
+        da = t_i * gc_w - d_i / denom
         # chain through alpha = keep * min(clamp, op * expp)
         mask = (keep & unclamped).astype(jnp.float32)
         dp = da * alpha * mask                        # d power (alpha=a_raw
@@ -418,12 +435,23 @@ def _check_config(config: RenderConfig):
         raise NotImplementedError(
             "render_tiled_diff requires subtile_exit=False, "
             "cull_pairs=False")
+    if not config.transmit_mxu:
+        raise NotImplementedError(
+            "render_tiled_diff requires transmit_mxu=True: its forward "
+            "kernel's log-space transmittance IS the MXU formulation, "
+            "and following the VPU-cumprod inference path would break "
+            "the bit-parity contract with render_tiled")
 
 
 def _proj_arrays(scene, camera, config):
-    """The differentiable projected quantities, as a flat tuple."""
+    """The differentiable projected quantities, plus the full projection
+    record as a non-differentiated auxiliary (``jax.vjp(..., has_aux)``):
+    the backward needs proj.radius_px/visible for the segment offsets and
+    proj.color/opacity for the straight-through masks, and threading them
+    through the SAME trace guarantees one projection pass per backward
+    instead of relying on XLA CSE to merge a duplicate."""
     proj = project_gaussians(scene, camera, config)
-    return (proj.center_px, proj.conic, proj.color, proj.opacity)
+    return (proj.center_px, proj.conic, proj.color, proj.opacity), proj
 
 
 def _fwd_raster(bins, h, w, config, interpret):
@@ -654,7 +682,10 @@ def _scatter_pair_grads(grads, pad_base, base_t, bins, proj, n, config):
     k_global = jnp.clip(kg, 0.0, float(k_cap - 1)).astype(jnp.int32)
     gidx = jnp.where(valid, jnp.take(bins.ranks, k_global), n)
     row8 = jnp.where(valid, grads[GRAD_SEM - 1], 0.0)
-    sg, order, row8_s = jax.lax.sort((gidx, p_ids, row8), num_keys=1)
+    # unstable: segment sums are order-independent within a segment, and
+    # the unstable network is the cheaper one (binning.py's sort agrees)
+    sg, order, row8_s = jax.lax.sort((gidx, p_ids, row8), num_keys=1,
+                                     is_stable=False)
     del sg
     sv8 = jnp.take(jnp.where(valid[None, :], grads[:GRAD_SEM - 1], 0.0),
                    order, axis=1)
@@ -700,7 +731,9 @@ def _core_bwd(config, interpret, res, cts):
 
     grads, pad_base, base_t = _bwd_raster(
         bins, g_c, g_lt, lt, camera.h, camera.w, config, interpret)
-    proj = project_gaussians(scene, camera, config)
+    _, pullback, proj = jax.vjp(
+        lambda s, cam: _proj_arrays(s, cam, config), scene, camera,
+        has_aux=True)
     if bins.ranks.shape[0] >= (1 << 24):
         # f32 k_global row loses integer exactness at 2^24 slots
         per_g = _scatter_pair_grads_xla(grads, pad_base, base_t, bins, n,
@@ -718,14 +751,14 @@ def _core_bwd(config, interpret, res, cts):
                                axis=-1)                          # (N, 3)
     d_opacity = per_g[8]                                         # (N,)
 
-    # straight-through the u16 packing; the pack clips color to [0, 1],
-    # whose subgradient masks out-of-range channels (same as the clip the
-    # dense path applies)
+    # straight-through the u16 packing; the pack clips color AND opacity
+    # to [0, 1] (binning._pack_u16), whose subgradient masks
+    # out-of-range values (same as the clip the dense path applies)
     in01 = (proj.color >= 0.0) & (proj.color <= 1.0)
     d_color = jnp.where(in01, d_color_packed, 0.0)
+    d_opacity = jnp.where((proj.opacity >= 0.0) & (proj.opacity <= 1.0),
+                          d_opacity, 0.0)
 
-    _, pullback = jax.vjp(
-        lambda s, cam: _proj_arrays(s, cam, config), scene, camera)
     d_scene, d_camera = pullback(
         (d_center, d_conic, d_color, d_opacity))
     return d_scene, d_camera

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import warnings
 from functools import partial
 from typing import Callable
 
@@ -218,14 +219,10 @@ DEFAULT_LR_SCALES = {
 }
 
 
-def _check_tiled_capacity(scene, cameras, config: RenderConfig) -> None:
-    """A silently-truncated TRAINING forward would bias every gradient;
-    render_tiled_diff is jit-traced and cannot host-sync an overflow
-    check per step, so fit() audits the capacity ONCE up front: the
-    measured slot demand at every training pose must fit
-    ``max_dup_factor`` (with a 5% margin for pose drift during the
-    fit — splats move, footprints change).  Same no-silent-truncation
-    contract as every public render path (config.py)."""
+def _required_dup_factor(scene, cameras, config: RenderConfig) -> float:
+    """Measured max_dup_factor the training poses need (+5% margin for
+    pose/footprint drift between audits): worst slot demand over every
+    view, from the binning stage's own count arithmetic."""
     from splat_tpu.render.api import pair_stats
 
     n_views = jnp.asarray(cameras.position).shape[0]
@@ -235,14 +232,27 @@ def _check_tiled_capacity(scene, cameras, config: RenderConfig) -> None:
         cam = jax.tree.map(lambda a: a[i], cameras,
                            is_leaf=lambda a: hasattr(a, "shape"))
         worst = max(worst, pair_stats(scene, cam, config)["slots"])
-    if config.max_dup_factor * n < worst * 1.05:
+    return worst * 1.05 / n
+
+
+def _check_tiled_capacity(scene, cameras, config: RenderConfig) -> None:
+    """A silently-truncated TRAINING forward would bias every gradient;
+    render_tiled_diff is jit-traced and cannot host-sync an overflow
+    check per step, so fit() audits the capacity up front (and again at
+    every densification boundary, where the topology change can shrink
+    k_cap below the surviving splats' demand — see fit()).  Same
+    no-silent-truncation contract as every public render path
+    (config.py)."""
+    need = _required_dup_factor(scene, cameras, config)
+    if config.max_dup_factor < need:
+        n = max(scene.num_gaussians, 1)
         raise ValueError(
             f"fit(method='tiled'): max_dup_factor={config.max_dup_factor} "
             f"gives {int(config.max_dup_factor * n)} pair slots but the "
-            f"training poses need up to {worst} (+5% margin) — a "
-            f"truncated forward would silently bias every gradient; "
-            f"raise RenderConfig.max_dup_factor to at least "
-            f"{worst * 1.05 / n:.2f}")
+            f"training poses need up to {int(need * n)} (incl. 5% "
+            f"margin) — a truncated forward would silently bias every "
+            f"gradient; raise RenderConfig.max_dup_factor to at least "
+            f"{need:.2f}")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -320,8 +330,7 @@ def densify_and_prune(raw: RawParams, grad_mean, *,
     big = scales.max(axis=1) > split_scale_threshold
     clone_idx = np.flatnonzero(needs & ~big)
     split_idx = np.flatnonzero(needs & big)
-    keep_idx = np.flatnonzero(alive & ~np.isin(
-        np.arange(len(alive)), split_idx))
+    keep_idx = np.flatnonzero(alive & ~(needs & big))
 
     parts = {k: [v[keep_idx], v[clone_idx]] for k, v in d.items()}
     if len(split_idx):
@@ -402,7 +411,10 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
         change, as in the original recipe).  Segment boundaries change
         the gaussian count, so each visited padded shape compiles once
         (bucketed by densify_and_prune's pad_multiple; the persistent
-        cache remembers buckets across runs).
+        cache remembers buckets across runs).  On the tiled path the
+        capacity audit re-runs after every round, auto-raising
+        ``max_dup_factor`` (with a warning) if pruning left it below
+        the measured slot demand.
       opacity_reset_every: when > 0, every that many steps clamp every
         opacity to at most ``opacity_reset_to`` (INRIA recipe's periodic
         opacity reset: floaters must re-earn their alpha or be pruned by
@@ -567,6 +579,27 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
             densify_log.append(stats)
             opt_state = opt.init(raw)  # topology changed
             gsum_acc, gsteps = None, 0  # stats window restarts
+            if loss_fn is None and method == "tiled":
+                # Re-audit the capacity: pruning shrinks k_cap
+                # (= max_dup_factor * N) while the surviving splats keep
+                # their footprints, so a config that fit the INITIAL
+                # scene can silently truncate after a topology change.
+                # Auto-raise (with a warning) instead of killing a long
+                # run mid-flight — the bump takes effect with the re-jit
+                # the new N forces anyway.
+                need = _required_dup_factor(raw.to_scene(), cameras,
+                                            config)
+                if config.max_dup_factor < need:
+                    new_dup = math.ceil(need * 20) / 20
+                    warnings.warn(
+                        f"fit: densification left max_dup_factor="
+                        f"{config.max_dup_factor} below the measured "
+                        f"slot demand ({need:.2f}); raising it to "
+                        f"{new_dup} — a truncated forward would bias "
+                        f"every gradient", stacklevel=2)
+                    config = dataclasses.replace(
+                        config, max_dup_factor=new_dup)
+                    _loss_cache.clear()
         if opacity_reset_every and b1 % opacity_reset_every == 0:
             # INRIA recipe: clamp every opacity down to a small value so
             # floaters must re-earn their alpha; the opacity group's adam

@@ -120,7 +120,8 @@ class TestForwardParity:
         for bad in (RenderConfig(render_mode="depth",
                                  depth_range=(1.0, 5.0)),
                     RenderConfig(binning_key="rank"),
-                    RenderConfig(cull_pairs=True)):
+                    RenderConfig(cull_pairs=True),
+                    RenderConfig(transmit_mxu=False)):
             with pytest.raises(NotImplementedError):
                 render_tiled_diff(scene, cam, bad)
 
@@ -338,3 +339,60 @@ class TestHeavyOcclusion:
         depth = np.asarray(project_gaussians(scene, cam, cfg).depth)
         front = int(np.argmin(depth))
         assert np.abs(np.asarray(gt.sh)[front]).max() > 0
+
+
+class TestNumericalEdges:
+    def test_grads_finite_with_cropped_boundary_tiles(self):
+        """h not a multiple of tile_h: the crop-padded pixels enter the
+        backward with a ZERO logT anchor (their true forward value was
+        cropped away), so under heavy occlusion the reverse walk
+        reconstructs a large-POSITIVE logT there — unclamped, exp()
+        overflows to inf and the pad pixels' zero cotangents turn into
+        NaNs that poison every per-pair gradient in the window."""
+        n = 160
+        rng = np.random.default_rng(1)
+        scene = _jscene(n, 3)
+        # huge near-opaque splats: every pad pixel of the boundary tile
+        # accumulates sum(-log1p(-alpha)) >> 88.7 (the f32 exp overflow)
+        scene = dataclasses.replace(
+            scene,
+            means=jnp.asarray(
+                rng.normal(0, 0.05, (n, 3)).astype(np.float32)),
+            opacities=jnp.full((n,), 0.99, jnp.float32),
+            scales=jnp.full((n, 3), 6.0, jnp.float32))
+        cam = Camera.create(h=40, w=32, position=(0.0, 0.0, 3.0))
+        cfg = RenderConfig(max_dup_factor=8.0)
+        tgt = jnp.full((40, 32, 3), 0.4)
+        loss = lambda s: jnp.mean(
+            (render_tiled_diff(s, cam, cfg) - tgt) ** 2)
+        g = jax.grad(loss)(scene)
+        for name in ("means", "opacities", "sh", "scales", "quats"):
+            arr = np.asarray(getattr(g, name))
+            assert np.isfinite(arr).all(), name
+        # the image region is genuinely covered: gradients are live
+        assert float(np.abs(np.asarray(g.sh)).max()) > 0
+
+    def test_grads_finite_at_alpha_exactly_one(self):
+        """alpha_clamp=1.0 with a u16-saturated opacity: pixels where
+        exp(power) rounds to 1.0f see alpha == 1.0 exactly — the
+        backward's 1/(1-alpha) must not turn those masked lanes into
+        inf * 0 = NaN."""
+        scene = _jscene(4, 5)
+        scene = dataclasses.replace(
+            scene,
+            means=jnp.zeros((4, 3), jnp.float32),
+            opacities=jnp.ones((4,), jnp.float32),
+            # sigma_px ~ 3200 at this pose: pixels near the projected
+            # center have |power| < 1e-7 and exp(power) == 1.0 in f32
+            scales=jnp.full((4, 3), 600.0, jnp.float32))
+        cam = Camera.create(h=32, w=32, position=(0.0, 0.0, 3.0))
+        cfg = RenderConfig(alpha_clamp=1.0, max_dup_factor=8.0)
+        img = np.asarray(render_tiled_diff(scene, cam, cfg))
+        assert img.max() > 0
+        tgt = jnp.full((32, 32, 3), 0.2)
+        loss = lambda s: jnp.mean(
+            (render_tiled_diff(s, cam, cfg) - tgt) ** 2)
+        g = jax.grad(loss)(scene)
+        for name in ("means", "opacities", "sh", "scales", "quats"):
+            arr = np.asarray(getattr(g, name))
+            assert np.isfinite(arr).all(), name

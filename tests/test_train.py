@@ -522,3 +522,39 @@ def test_fit_rejects_unknown_lr_keys():
     with pytest.raises(ValueError, match="mean"):
         fit(scene, cams, targets, steps=1, config=config,
             lr_scales={"mean": 0.1})
+
+
+def test_fit_densify_reaudits_tiled_capacity():
+    """Pruning shrinks k_cap (= max_dup_factor * N) while the surviving
+    splats keep their footprints: fit() must re-audit at the densify
+    boundary and auto-raise max_dup_factor instead of silently
+    truncating every subsequent gradient."""
+    import pytest
+    n = 64
+    scene = random_scene(n, seed=6)
+    # 16 big opaque splats at the image center (4 tile pairs each at
+    # 64x64 / tile 32) + 48 nearly-transparent ones that the first
+    # densification round prunes (1 slot each).
+    means = np.zeros((n, 3), np.float32)
+    means[:, 2] = np.linspace(-0.2, 0.2, n)
+    opac = np.full((n,), 0.004, np.float32)   # < min_opacity -> pruned
+    opac[:16] = 0.95
+    scales = np.full((n, 3), 0.02, np.float32)
+    scales[:16] = 1.2
+    scene = dataclasses.replace(
+        scene, means=means, opacities=opac, scales=scales)
+    cams = orbit_trajectory(Camera.create(h=64, w=64,
+                                          position=(0.0, 0.0, 4.0)),
+                            num_frames=1)
+    targets = jnp.zeros((1, 64, 64, 3))
+    # passes the INITIAL audit (slots ~= 16*4 + 48 = 112 <= 2.0*64)
+    config = RenderConfig(max_dup_factor=2.0, sh_degree=0)
+    with pytest.warns(UserWarning, match="max_dup_factor"):
+        res = fit(scene, cams, targets, steps=2, method="tiled",
+                  config=config, densify_every=1,
+                  densify_kwargs=dict(grad_threshold=1e9,
+                                      min_opacity=0.005,
+                                      pad_multiple=1))
+    assert res.densify_log and res.densify_log[0]["pruned"] == 48
+    assert res.raw.means.shape[0] == 16
+    assert np.isfinite(np.asarray(res.losses)).all()
