@@ -23,7 +23,7 @@ Public API::
 
 from splat_tpu.config import RenderConfig
 from splat_tpu.scene import DeviceScene, GaussianScene
-from splat_tpu.camera import Camera
+from splat_tpu.camera import Camera, SE3Camera, stack_cameras
 from splat_tpu.io.ply import load_ply, save_ply
 from splat_tpu.render.api import (auto_config, pair_stats, render,
                                   render_fn)
@@ -40,6 +40,8 @@ __all__ = [
     "GaussianScene",
     "DeviceScene",
     "Camera",
+    "SE3Camera",
+    "stack_cameras",
     "load_ply",
     "save_ply",
     "auto_config",

@@ -115,6 +115,177 @@ class Camera:
         focal = self.h / (2.0 * htany)
         return htanx, htany, focal
 
+    def intrinsics_px(self):
+        """Pinhole intrinsics (fx, fy, cx, cy) in pixels.
+
+        The camera-consumer protocol shared with :class:`SE3Camera`: the
+        renderer maps camera space -> pixels as ``x_px = cx + fx·x/(-z)``,
+        ``y_px = cy - fy·y/(-z)`` (the y-flip of notes/util.py:109-111).
+        An orbit camera has square pixels and a centered principal point:
+        fx = fy = focal, (cx, cy) = image center (src/camera.rs:84-89).
+        """
+        _, _, focal = self.htanfovxy_focal()
+        return focal, focal, jnp.float32(self.w / 2), jnp.float32(self.h / 2)
+
+    def scaled(self, ss: int) -> "Camera":
+        """Resolution scaled by ``ss`` with the field of view unchanged
+        (the supersampling transform).  For an orbit camera the focal is
+        derived from h, so scaling h/w suffices."""
+        return dataclasses.replace(self, h=self.h * ss, w=self.w * ss)
+
+    def to_se3(self) -> "SE3Camera":
+        """The same pose/intrinsics as an explicit SE(3) camera."""
+        fx, fy, cx, cy = self.intrinsics_px()
+        return SE3Camera(view=self.view_matrix(), fx=fx, fy=fy,
+                         cx=cx, cy=cy, znear=self.znear, zfar=self.zfar,
+                         h=self.h, w=self.w)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["view", "fx", "fy", "cx", "cy", "znear", "zfar"],
+         meta_fields=["h", "w"])
+@dataclasses.dataclass(frozen=True)
+class SE3Camera:
+    """Arbitrary-pose pinhole camera: an explicit world-to-camera matrix
+    plus COLMAP-style intrinsics (fx≠fy and off-center principal point
+    supported).
+
+    The reference's camera is orbit-parameterized only
+    (src/camera.rs:4-127: position/target/yaw/pitch) — fine for its
+    interactive viewer, but real 3DGS datasets carry COLMAP
+    world-to-camera extrinsics + PINHOLE intrinsics that an orbit cannot
+    express.  This class extends the engine to those poses while keeping
+    the pytree discipline: ``view`` and the intrinsics are TRACED leaves
+    (pose changes never recompile), ``h``/``w`` static.
+
+    Convention match (PARITY.md): ``view`` follows the same right-handed
+    look-at frame as :func:`look_at` — rows are (right, up', -forward)
+    with COLMAP y-down handled by the caller's up vector — so visible
+    points have negative camera-space z, exactly as the orbit camera
+    produces.  A COLMAP ``images.txt`` world-to-camera (y down, z
+    FORWARD) converts via :meth:`from_colmap`, which flips the y and z
+    rows.
+    """
+
+    view: jax.Array    # (4, 4) world-to-camera, rows (s, u, -f | t)
+    fx: jax.Array      # () focal in pixels, x
+    fy: jax.Array      # () focal in pixels, y
+    cx: jax.Array      # () principal point x, pixels
+    cy: jax.Array      # () principal point y, pixels
+    znear: jax.Array   # ()
+    zfar: jax.Array    # ()
+    h: int
+    w: int
+
+    @classmethod
+    def create(cls, h: int, w: int, view, fx, fy=None, cx=None, cy=None,
+               znear: float = 0.01, zfar: float = 100.0) -> "SE3Camera":
+        f32 = lambda v: jnp.asarray(v, jnp.float32)
+        return cls(view=jnp.asarray(view, jnp.float32).reshape(4, 4),
+                   fx=f32(fx), fy=f32(fy if fy is not None else fx),
+                   cx=f32(cx if cx is not None else w / 2),
+                   cy=f32(cy if cy is not None else h / 2),
+                   znear=f32(znear), zfar=f32(zfar), h=int(h), w=int(w))
+
+    @classmethod
+    def from_colmap(cls, qvec, tvec, fx, fy, cx, cy, h: int, w: int,
+                    znear: float = 0.01, zfar: float = 100.0
+                    ) -> "SE3Camera":
+        """From a COLMAP image record: world-to-camera rotation as a
+        scalar-first quaternion + translation, PINHOLE intrinsics.
+
+        COLMAP's camera frame is x right, y DOWN, z FORWARD (+z in front);
+        this engine's frame is y up', z BACKWARD (-z in front, glm
+        look_at).  The conversion flips rows 1 and 2 of [R|t].
+        """
+        q = jnp.asarray(qvec, jnp.float32)
+        q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+        qw, qx, qy, qz = q[0], q[1], q[2], q[3]
+        r = jnp.stack([
+            jnp.stack([1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz),
+                       2 * (qx * qz + qw * qy)]),
+            jnp.stack([2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz),
+                       2 * (qy * qz - qw * qx)]),
+            jnp.stack([2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx),
+                       1 - 2 * (qx * qx + qy * qy)]),
+        ])
+        t = jnp.asarray(tvec, jnp.float32).reshape(3)
+        flip = jnp.asarray([1.0, -1.0, -1.0], jnp.float32)[:, None]
+        rt = jnp.concatenate([r * flip, (t * flip[:, 0])[:, None]], axis=1)
+        view = jnp.concatenate(
+            [rt, jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32)], axis=0)
+        return cls(view=view, fx=jnp.float32(fx), fy=jnp.float32(fy),
+                   cx=jnp.float32(cx), cy=jnp.float32(cy),
+                   znear=jnp.float32(znear), zfar=jnp.float32(zfar),
+                   h=int(h), w=int(w))
+
+    # -- camera-consumer protocol (what ops/projection.py reads) ----------
+
+    @property
+    def aspect(self) -> float:
+        return self.w / self.h
+
+    def eye(self) -> jax.Array:
+        """World-space camera center: view = [R|t] => eye = -Rᵀ t."""
+        r = self.view[:3, :3]
+        t = self.view[:3, 3]
+        return -(r.T @ t)
+
+    def view_matrix(self) -> jax.Array:
+        return self.view
+
+    def intrinsics_px(self):
+        return self.fx, self.fy, self.cx, self.cy
+
+    def htanfovxy_focal(self):
+        """Orbit-protocol compat: per-axis half-tangents and the y focal.
+
+        With fx≠fy callers should prefer :meth:`intrinsics_px`; the
+        'focal' slot returns fy (the reference's focal is defined from
+        the VERTICAL fov, src/camera.rs:84-89).
+        """
+        return (self.w / (2.0 * self.fx), self.h / (2.0 * self.fy),
+                self.fy)
+
+    def scaled(self, ss: int) -> "SE3Camera":
+        """Resolution scaled by ``ss`` with the field of view unchanged
+        (the supersampling transform): every pixel-unit intrinsic scales
+        together with h/w."""
+        return dataclasses.replace(
+            self, h=self.h * ss, w=self.w * ss,
+            fx=self.fx * ss, fy=self.fy * ss,
+            cx=self.cx * ss, cy=self.cy * ss)
+
+    def projection_matrix(self) -> jax.Array:
+        """GL-style projection equivalent to the intrinsics, including
+        principal-point offset terms (columns 2): clip = P @ p_cam maps
+        to the same pixels as ``intrinsics_px`` under
+        camera.ndc_to_pixel."""
+        zn, zf = self.znear, self.zfar
+        zero = jnp.zeros((), jnp.float32)
+        return jnp.stack([
+            jnp.stack([2.0 * self.fx / self.w, zero,
+                       (2.0 * self.cx / self.w) - 1.0, zero]),
+            jnp.stack([zero, 2.0 * self.fy / self.h,
+                       1.0 - (2.0 * self.cy / self.h), zero]),
+            jnp.stack([zero, zero, -(zf + zn) / (zf - zn),
+                       -(2.0 * zf * zn) / (zf - zn)]),
+            jnp.stack([zero, zero, -jnp.ones((), jnp.float32), zero]),
+        ]).astype(jnp.float32)
+
+
+def stack_cameras(cams: "list[SE3Camera] | list[Camera]"):
+    """Batch a list of same-resolution cameras into one pytree with a
+    leading view axis (the ``orbit_trajectory`` shape — what ``fit`` and
+    the batch renderers take)."""
+    if not cams:
+        raise ValueError("stack_cameras: empty list")
+    c0 = cams[0]
+    if any((c.h, c.w) != (c0.h, c0.w) for c in cams):
+        raise ValueError("stack_cameras: all cameras must share h, w "
+                         "(static fields shape the output image)")
+    return jax.tree.map(lambda *ls: jnp.stack(ls), *cams)
+
 
 def _normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:
     return v / jnp.maximum(jnp.linalg.norm(v), eps)

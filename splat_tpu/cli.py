@@ -128,11 +128,24 @@ def _load_camera_path(path: str, size: str, fovy_deg: float,
          {"position": [x,y,z], "target": [0,0,0],
           "yaw": 0.0, "pitch": 0.0}, ...]}
 
+    or, for arbitrary SE(3) poses (COLMAP-style datasets the orbit
+    parameterization cannot express — real 3DGS captures), views of
+    either form
+
+      {"view_matrix": [[...4 rows of 4...]], "fx": F, "fy": F,
+       "cx": C, "cy": C}                       # engine look_at frame
+      {"qvec": [w,x,y,z], "tvec": [x,y,z], "fx": ..., ...}  # COLMAP w2c
+
+    (fx/fy/cx/cy may also be given once at the top level; they default
+    to the fovy-derived focal and the image center).  Orbit and SE(3)
+    views cannot be mixed in one file.
+
     Returns (cam_list, h, w).  interp > 1 linearly interpolates that many
     frames between consecutive waypoints (position/target/yaw/pitch),
     turning a handful of keyframes into a smooth flythrough — the export
     counterpart of the reference viewer's freeform navigation
-    (src/main.rs:42-80)."""
+    (src/main.rs:42-80).  Orbit views only: there is no canonical linear
+    interpolation on SE(3) poses."""
     import numpy as np
 
     import splat_tpu as st
@@ -145,6 +158,37 @@ def _load_camera_path(path: str, size: str, fovy_deg: float,
     vs = spec["views"]
     if not vs:
         raise SystemExit(f"{path}: empty views list")
+    se3 = [("view_matrix" in v) or ("qvec" in v) for v in vs]
+    if any(se3):
+        if not all(se3):
+            raise SystemExit(f"{path}: cannot mix orbit views and "
+                             f"view_matrix/qvec views in one file")
+        if interp > 1:
+            raise SystemExit("--interp needs orbit views (no canonical "
+                             "lerp on SE(3) poses)")
+        focal_default = h / (2.0 * np.tan(fovy / 2))
+
+        def intr(v):
+            fx = float(v.get("fx", spec.get("fx", focal_default)))
+            fy = float(v.get("fy", spec.get("fy", fx)))
+            cx = float(v.get("cx", spec.get("cx", w / 2)))
+            cy = float(v.get("cy", spec.get("cy", h / 2)))
+            return fx, fy, cx, cy
+
+        cams = []
+        for v in vs:
+            fx, fy, cx, cy = intr(v)
+            if "view_matrix" in v:
+                m = np.asarray(v["view_matrix"], np.float32)
+                if m.shape != (4, 4):
+                    raise SystemExit(f"{path}: view_matrix must be 4x4, "
+                                     f"got {m.shape}")
+                cams.append(st.SE3Camera.create(h=h, w=w, view=m, fx=fx,
+                                                fy=fy, cx=cx, cy=cy))
+            else:
+                cams.append(st.SE3Camera.from_colmap(
+                    v["qvec"], v["tvec"], fx, fy, cx, cy, h, w))
+        return cams, h, w
     pos = np.asarray([v["position"] for v in vs], np.float32)
     tgt = np.asarray([v.get("target", (0.0, 0.0, 0.0)) for v in vs],
                      np.float32)
@@ -473,18 +517,14 @@ def cmd_fit(args) -> int:
     elif args.targets:
         if not args.cameras:
             raise SystemExit("--targets needs --cameras FILE.json")
-        with open(args.cameras) as f:
-            spec = json.load(f)
-        h = int(spec.get("h", h))
-        w = int(spec.get("w", w))
-        fovy = float(np.deg2rad(spec.get("fovy_deg", args.fovy_deg)))
+        cl, h, w = _load_camera_path(args.cameras, args.size,
+                                     args.fovy_deg)
         files = sorted(
             os.path.join(args.targets, n) for n in os.listdir(args.targets)
             if n.lower().endswith(".png"))
-        views = spec["views"]
-        if len(files) != len(views):
+        if len(files) != len(cl):
             raise SystemExit(f"{len(files)} PNGs in {args.targets} but "
-                             f"{len(views)} views in {args.cameras}")
+                             f"{len(cl)} views in {args.cameras}")
         imgs = []
         for p in files:
             img = read_png(p)[:, :, :3].astype(np.float32) / 255.0
@@ -493,12 +533,8 @@ def cmd_fit(args) -> int:
                                  f"cameras say {w}x{h}")
             imgs.append(img)
         targets = jnp.asarray(np.stack(imgs))
-        cl = [Camera.create(
-            h=h, w=w, position=tuple(v["position"]),
-            target=tuple(v.get("target", (0.0, 0.0, 0.0))),
-            yaw=float(v.get("yaw", 0.0)), pitch=float(v.get("pitch", 0.0)),
-            fovy=fovy) for v in views]
-        cams = jax.tree.map(lambda *xs: jnp.stack(xs), *cl)
+        from splat_tpu.camera import stack_cameras
+        cams = stack_cameras(cl)
         cam_list = cl
     else:
         raise SystemExit("pass --distill REF.ply or --targets DIR")

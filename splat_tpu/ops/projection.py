@@ -190,8 +190,11 @@ def project_gaussians(scene, camera: Camera,
     from splat_tpu.ops.transforms import compute_cov6_cols
 
     view = camera.view_matrix()
-    proj = camera.projection_matrix()
-    _, _, focal = camera.htanfovxy_focal()
+    # Pinhole intrinsics protocol (Camera/SE3Camera.intrinsics_px): the
+    # orbit camera returns fx = fy = focal with a centered principal
+    # point (reference src/camera.rs:84-89); an SE3Camera may carry
+    # COLMAP-style fx != fy and off-center (cx0, cy0).
+    fx, fy, cx0, cy0 = camera.intrinsics_px()
     (mx, my, mz), q4, s3, opacity, shs = _scene_cols(scene)
 
     cov6 = compute_cov6_cols(q4, s3)
@@ -214,10 +217,13 @@ def project_gaussians(scene, camera: Camera,
                 + xz * (p[0] * q[2] + p[2] * q[0])
                 + yz * (p[1] * q[2] + p[2] * q[1]))
 
-    s2 = (focal / pz) ** 2
-    a = s2 * quad(u, u) + config.lowpass
-    b = s2 * quad(u, v)
-    c = s2 * quad(v, v) + config.lowpass
+    # J = diag(fx, fy)/tz (anisotropic when fx != fy; the reference's
+    # square-pixel case reduces to the single (focal/tz)² scale).
+    sx = fx / pz
+    sy = fy / pz
+    a = (sx * sx) * quad(u, u) + config.lowpass
+    b = (sx * sy) * quad(u, v)
+    c = (sy * sy) * quad(v, v) + config.lowpass
 
     det = a * c - b * b
     det_safe = jnp.where(det > 0, det, 1.0)
@@ -241,13 +247,15 @@ def project_gaussians(scene, camera: Camera,
     rx = jnp.sqrt(cut2 * jnp.maximum(a, 0.0))
     ry = jnp.sqrt(cut2 * jnp.maximum(c, 0.0))
 
-    # Clip-space center -> NDC -> pixel (reference src/pipelines.rs:37-48,
-    # pixel mapping notes/util.py:109-111 == camera.ndc_to_pixel).
-    # Elementwise: the glm projection matrix is sparse, so
-    # x_clip = P00 x, y_clip = P11 y, w_clip = -z (P32 = -1).
+    # Camera space -> pixel center via the pinhole intrinsics
+    # (reference src/pipelines.rs:37-48 goes through the clip-space
+    # matrix; with w_clip = -z that reduces to exactly
+    # x_px = cx0 + fx·x/(-z), y_px = cy0 - fy·y/(-z) — the pixel mapping
+    # of notes/util.py:109-111 == camera.ndc_to_pixel, generalized to
+    # off-center principal points).
     clip_w = -pz
-    cx = (proj[0, 0] * px / clip_w + 1.0) * (camera.w / 2)
-    cy = (1.0 - proj[1, 1] * py / clip_w) * (camera.h / 2)
+    cx = cx0 + fx * (px / clip_w)
+    cy = cy0 - fy * (py / clip_w)
 
     depth = -pz                                   # view depth >0 in front
 

@@ -175,7 +175,7 @@ def render_batch_sharded(scene, cameras: Camera, mesh: Mesh,
     config = config or RenderConfig()
     _check_sharded_config(config)
     if scene.num_gaussians == 0:  # empty shards break all_gather
-        f = jnp.asarray(cameras.position).shape[0]
+        f = jnp.asarray(jax.tree.leaves(cameras)[0]).shape[0]
         bg = _empty_frame(cameras.h, cameras.w, config)[..., :3]
         return jnp.broadcast_to(bg, (f,) + bg.shape)
 
@@ -339,7 +339,7 @@ def render_batch_sharded_tiled(scene, cameras: Camera, mesh: Mesh,
     h, w = cameras.h, cameras.w
     n_g = mesh.shape["g"]
     if scene.num_gaussians == 0:  # static: binning has no N=0 shape
-        f = jnp.asarray(cameras.position).shape[0]
+        f = jnp.asarray(jax.tree.leaves(cameras)[0]).shape[0]
         bg = _empty_frame(h, w, config)
         return jnp.broadcast_to(bg, (f,) + bg.shape), jnp.int32(0)
     if h % n_g:
@@ -461,6 +461,9 @@ def shard_spatial_score(scene, n_g: int) -> float:
 _SPATIAL_SCORE_THRESHOLD = 0.35
 
 
+_CAP_FACTOR_CACHE: dict = {}
+
+
 def _auto_cap_factor(scene, n_g: int) -> float:
     """Slab-cap factor for route='a2a' when the caller didn't pin one:
     the measured default ``min(1, 4/n_g)`` for i.i.d.-ordered scenes,
@@ -468,15 +471,39 @@ def _auto_cap_factor(scene, n_g: int) -> float:
     rout-overflow) when the host-side spatial score says the shards are
     clustered.  Detection is best-effort: if the scene's leaves are not
     host-reachable the default stands (the overflow count still
-    surfaces any truncation — nothing is ever silent)."""
+    surfaces any truncation — nothing is ever silent).
+
+    The score is an O(N) host pass over the means, so it is computed
+    ONCE per (scene, n_g) and cached (a per-frame recompute at 6M splats
+    would dominate dispatch).  Scenes whose means already live on a
+    non-CPU device skip detection entirely: fetching raw device buffers
+    on the remote-attached backend is pathologically slow (CLAUDE.md
+    rule 4) — run :func:`prepare_scene_for_sharding` on the HOST scene
+    instead."""
     default = min(1.0, 4.0 / n_g)
+    key = (id(scene), getattr(scene, "num_gaussians", 0), n_g)
+    hit = _CAP_FACTOR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    leaf = scene.mx if hasattr(scene, "mx") else scene.means
+    if isinstance(leaf, jax.Array):
+        try:
+            platform = next(iter(leaf.devices())).platform
+        except Exception:
+            platform = "unknown"
+        if platform != "cpu":
+            return default
     try:
         score = shard_spatial_score(scene, n_g)
     except Exception:
         return default
+    out = default
     if score < _SPATIAL_SCORE_THRESHOLD:
-        return min(1.0, max(default, default / max(score, 1e-3)))
-    return default
+        out = min(1.0, max(default, default / max(score, 1e-3)))
+    if len(_CAP_FACTOR_CACHE) > 256:
+        _CAP_FACTOR_CACHE.clear()
+    _CAP_FACTOR_CACHE[key] = out
+    return out
 
 
 def prepare_scene_for_sharding(scene, n_g: int, *, seed: int = 0,

@@ -117,10 +117,7 @@ def pair_stats(scene, camera: Camera, config: RenderConfig | None = None):
     if config.supersample > 1:
         # render_tiled bins at the supersampled resolution; the capacity
         # suggestion must count pairs at the same scale.
-        import dataclasses
-
-        camera = dataclasses.replace(camera, h=camera.h * config.supersample,
-                                     w=camera.w * config.supersample)
+        camera = camera.scaled(config.supersample)
 
     visible, pairs = (int(x) for x in jax.device_get(
         _count_pairs_jit(scene, camera, config)))
@@ -135,6 +132,9 @@ def pair_stats(scene, camera: Camera, config: RenderConfig | None = None):
         "suggested_dup_factor": max(1.25, round(slots / max(n, 1) * 1.25,
                                                 2)),
     }
+
+
+_AUTO_CONFIG_CACHE: dict = {}
 
 
 def render(scene, camera: Camera, config: RenderConfig | None = None,
@@ -152,6 +152,7 @@ def render(scene, camera: Camera, config: RenderConfig | None = None,
     auto_capacity = config is None
     config = config or RenderConfig()
     m = resolve_method(method, scene)
+    cache_key = None
     if m == "tiled":
         from splat_tpu.scene import GaussianScene
         if isinstance(scene, GaussianScene):
@@ -165,11 +166,34 @@ def render(scene, camera: Camera, config: RenderConfig | None = None,
             # measured pair load instead of the conservative default
             # (K-sized costs scale with capacity: ~2x throughput on
             # typical scenes; heavy scenes that would overflow 4.0 now
-            # just work).  Quantized, so pose changes rarely recompile.
-            config = auto_config(scene, camera, config)
+            # just work).  The measurement is its own jit dispatch +
+            # host sync (~100 ms on the remote-attached backend), so it
+            # is cached per (scene, resolution, base config): a frame
+            # loop over render() pays it once, not per frame.  A pose
+            # that outgrows the cached capacity is caught by the
+            # overflow check below and re-measured — never silent.
+            cache_key = (id(scene), scene.num_gaussians, camera.h,
+                         camera.w, config)
+            cfg = _AUTO_CONFIG_CACHE.get(cache_key)
+            if cfg is None:
+                cfg = auto_config(scene, camera, config)
+                if len(_AUTO_CONFIG_CACHE) > 64:
+                    _AUTO_CONFIG_CACHE.clear()
+                _AUTO_CONFIG_CACHE[cache_key] = cfg
+            config = cfg
     if m == "tiled" and check_overflow:
         from splat_tpu.render.tiled import render_tiled_checked
-        img = render_tiled_checked(scene, camera, config)
+        try:
+            img = render_tiled_checked(scene, camera, config)
+        except RuntimeError:
+            if cache_key is None:
+                raise
+            # stale cached auto-capacity (the pose moved into a heavier
+            # view): evict, re-measure at THIS pose, retry once
+            _AUTO_CONFIG_CACHE.pop(cache_key, None)
+            config = auto_config(scene, camera, RenderConfig())
+            _AUTO_CONFIG_CACHE[cache_key] = config
+            img = render_tiled_checked(scene, camera, config)
     else:
         img = render_fn(m, config)(scene, camera)
     if as_uint8:

@@ -59,8 +59,7 @@ def render_dense(scene, camera: Camera, config: RenderConfig | None = None,
     if ss > 1:  # supersampled AA: render hi-res, box-filter at the end
         import dataclasses
 
-        camera = dataclasses.replace(camera, h=camera.h * ss,
-                                     w=camera.w * ss)
+        camera = camera.scaled(ss)
     h, w = camera.h, camera.w
     n = scene.num_gaussians
     bg = jnp.asarray(config.background, jnp.float32)

@@ -55,9 +55,10 @@ Design (the TPU formulation of the INRIA backward recurrences):
 Non-differentiable machinery (depth ordering, tile spans, the sort,
 visibility/keep indicators, radii) correctly contributes zero cotangent.
 
-Restrictions (checked): render_mode="color", binning_key="depth",
-subtile_exit off, cull_pairs off, transmit_mxu on — the production
-defaults.
+Restrictions (checked): render_mode="color" or "depth" (the latter
+with an explicit depth_range — depth-supervised training),
+binning_key="depth", subtile_exit off, cull_pairs off, transmit_mxu on
+— the production defaults.
 
 Match: beyond the reference (no training anywhere in it); the dense-path
 gradients this extends are train.py; the INRIA backward this
@@ -425,9 +426,27 @@ def _bwd_kernel(start_ref, end_ref, padbase_ref, feat_hbm,
 # --------------------------------------------------------------------------
 
 def _check_config(config: RenderConfig):
-    if config.render_mode != "color":
+    if config.render_mode == "depth":
+        # Depth supervision (round 5): normalized depth rides the color
+        # rows through the SAME pure-JAX projection the VJP pulls back
+        # through, so the kernel pair needs no change — but the range
+        # must be explicit: the auto range is a per-frame min/max over
+        # visible depths, and gradients flowing through data-dependent
+        # normalization BOUNDS would couple every splat's depth gradient
+        # to the current extremes (and per-step range drift would make
+        # the loss non-stationary).  Validated against the dense path's
+        # autodiff to ~1e-2 rel (u16 feature quantization, the same
+        # noise scale as color mode) — tests/test_diff.py.
+        if config.depth_range is None:
+            raise NotImplementedError(
+                "render_tiled_diff in depth mode needs an explicit "
+                "config.depth_range=(near, far): the auto range is a "
+                "data-dependent per-frame reduction (unstable "
+                "normalization under optimization)")
+    elif config.render_mode != "color":
         raise NotImplementedError(
-            "render_tiled_diff supports render_mode='color' only")
+            "render_tiled_diff supports render_mode='color' or 'depth' "
+            f"(explicit depth_range), got {config.render_mode!r}")
     if config.binning_key != "depth":
         raise NotImplementedError(
             "render_tiled_diff requires binning_key='depth'")
@@ -782,8 +801,7 @@ def render_tiled_diff(scene, camera: Camera,
         interpret = jax.default_backend() == "cpu"
     ss = config.supersample
     if ss > 1:
-        camera = dataclasses.replace(camera, h=camera.h * ss,
-                                     w=camera.w * ss)
+        camera = camera.scaled(ss)
     if scene.num_gaussians == 0:
         bgc = tuple(config.background)
         if config.alpha_channel:

@@ -95,7 +95,7 @@ def _np_eval_sh(sh, d, degree):
     return color + 0.5
 
 
-def _auto_depth_range(d, view, proj, focal, h, w, znear, config):
+def _auto_depth_range(d, view, intr, h, w, znear, config):
     """Visible depth min/max with the PROJECTION's visibility rule.
 
     Depth mode's auto range normalizes by the frame's visible depth
@@ -106,6 +106,7 @@ def _auto_depth_range(d, view, proj, focal, h, w, znear, config):
     outside the tight radius fail alpha_min anyway), so the range must be
     computed with the projection rule, not the paint rule.
     """
+    fx, fy, cx0, cy0 = intr
     lo, hi = np.inf, -np.inf
     for i in range(d["means"].shape[0]):
         pos_cam = view[:3, :3] @ d["means"][i] + view[:3, 3]
@@ -115,7 +116,8 @@ def _auto_depth_range(d, view, proj, focal, h, w, znear, config):
         rot = _np_quat_to_rot(d["quats"][i])
         cov3d = rot @ np.diag(d["scales"][i] ** 2) @ rot.T
         w2 = view[:3, :3].T[:, :2]
-        cov2d = ((focal / pos_cam[2]) ** 2 * (w2.T @ cov3d @ w2)
+        sc = np.array([fx, fy]) / pos_cam[2]
+        cov2d = ((sc[:, None] * sc[None, :]) * (w2.T @ cov3d @ w2)
                  + config.lowpass * np.eye(2))
         det = cov2d[0, 0] * cov2d[1, 1] - cov2d[0, 1] ** 2
         if det <= 0:
@@ -127,10 +129,8 @@ def _auto_depth_range(d, view, proj, focal, h, w, znear, config):
             cut2 = min(cut2, max(qmax, 0.0))
         rx = np.sqrt(cut2 * max(cov2d[0, 0], 0.0))
         ry = np.sqrt(cut2 * max(cov2d[1, 1], 0.0))
-        clip = proj @ np.append(pos_cam, 1.0)
-        ndc = clip[:2] / clip[3]
-        cx = (ndc[0] + 1) * w / 2
-        cy = (1 - ndc[1]) * h / 2
+        cx = cx0 + fx * pos_cam[0] / -pos_cam[2]
+        cy = cy0 - fy * pos_cam[1] / -pos_cam[2]
         if not (np.isfinite(cx) and np.isfinite(cy)):
             continue
         if cx + rx <= 0 or cx - rx >= w or cy + ry <= 0 or cy - ry >= h:
@@ -150,22 +150,31 @@ def render_oracle(scene, camera, config: RenderConfig | None = None):
     d = {k: np.asarray(v, np.float64) for k, v in {
         "means": scene.means, "quats": scene.quats, "scales": scene.scales,
         "opacities": scene.opacities, "sh": scene.sh}.items()}
-    eye = np.asarray(jax.device_get(camera.eye()), np.float64)
-    target = np.asarray(jax.device_get(camera.target), np.float64)
-    up = np.asarray(jax.device_get(camera.up), np.float64)
     # Supersampled AA mirrors the device renderers: evaluate at ss x the
-    # resolution (focal scales with h, so the field of view is unchanged)
-    # and box-filter down at the end.
+    # resolution (pixel-unit intrinsics scale with h, so the field of
+    # view is unchanged) and box-filter down at the end.
     ss = config.supersample
     h, w = camera.h * ss, camera.w * ss
-    fovy = float(jax.device_get(camera.fovy))
     znear = float(jax.device_get(camera.znear))
-    zfar = float(jax.device_get(camera.zfar))
-
-    view = _np_look_at(eye, target, up)
-    proj = _np_perspective(fovy, w / h, znear, zfar)
-    htany = np.tan(fovy / 2)
-    focal = h / (2 * htany)
+    if hasattr(camera, "view"):
+        # SE3Camera: explicit world-to-camera + pinhole intrinsics
+        # (fx != fy / off-center principal point supported).
+        cam_ss = camera.scaled(ss) if ss > 1 else camera
+        view = np.asarray(jax.device_get(cam_ss.view), np.float64)
+        fx = float(jax.device_get(cam_ss.fx))
+        fy = float(jax.device_get(cam_ss.fy))
+        cx0 = float(jax.device_get(cam_ss.cx))
+        cy0 = float(jax.device_get(cam_ss.cy))
+        eye = -view[:3, :3].T @ view[:3, 3]
+    else:
+        eye = np.asarray(jax.device_get(camera.eye()), np.float64)
+        target = np.asarray(jax.device_get(camera.target), np.float64)
+        up = np.asarray(jax.device_get(camera.up), np.float64)
+        fovy = float(jax.device_get(camera.fovy))
+        view = _np_look_at(eye, target, up)
+        htany = np.tan(fovy / 2)
+        fx = fy = h / (2 * htany)
+        cx0, cy0 = w / 2, h / 2
 
     n = d["means"].shape[0]
     # Back-to-front paint order: ascending camera-space z (most negative =
@@ -180,7 +189,7 @@ def render_oracle(scene, camera, config: RenderConfig | None = None):
                                   float(config.depth_range[1]))
         else:
             depth_lo, depth_hi = _auto_depth_range(
-                d, view, proj, focal, h, w, znear, config)
+                d, view, (fx, fy, cx0, cy0), h, w, znear, config)
 
     img = np.broadcast_to(
         np.asarray(config.background, np.float64), (h, w, 3)).copy()
@@ -196,7 +205,8 @@ def render_oracle(scene, camera, config: RenderConfig | None = None):
         rot = _np_quat_to_rot(d["quats"][i])
         cov3d = rot @ np.diag(d["scales"][i] ** 2) @ rot.T
         w2 = view[:3, :3].T[:, :2]
-        cov2d = (focal / pos_cam[2]) ** 2 * (w2.T @ cov3d @ w2)
+        sc = np.array([fx, fy]) / pos_cam[2]
+        cov2d = (sc[:, None] * sc[None, :]) * (w2.T @ cov3d @ w2)
         cov2d = cov2d + config.lowpass * np.eye(2)
         det = cov2d[0, 0] * cov2d[1, 1] - cov2d[0, 1] ** 2
         if det <= 0:
@@ -205,10 +215,8 @@ def render_oracle(scene, camera, config: RenderConfig | None = None):
         conic_b = -cov2d[0, 1] / det
         conic_c = cov2d[0, 0] / det
 
-        clip = proj @ np.append(pos_cam, 1.0)
-        ndc = clip[:2] / clip[3]
-        cx = (ndc[0] + 1) * w / 2
-        cy = (1 - ndc[1]) * h / 2
+        cx = cx0 + fx * pos_cam[0] / -pos_cam[2]
+        cy = cy0 - fy * pos_cam[1] / -pos_cam[2]
         rx = config.sigma_cutoff * np.sqrt(cov2d[0, 0])
         ry = config.sigma_cutoff * np.sqrt(cov2d[1, 1])
         # sigma_cutoff=inf (truncation-free mode): the loop bounds span the

@@ -34,8 +34,7 @@ def render_tiled(scene, camera: Camera, config: RenderConfig | None = None,
     if ss > 1:  # supersampled AA: render hi-res, box-filter at the end
         import dataclasses
 
-        camera = dataclasses.replace(camera, h=camera.h * ss,
-                                     w=camera.w * ss)
+        camera = camera.scaled(ss)
     h, w = camera.h, camera.w
     if scene.num_gaussians == 0:  # static: binning has no N=0 shape
         bgc = tuple(config.background)

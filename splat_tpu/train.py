@@ -225,7 +225,7 @@ def _required_dup_factor(scene, cameras, config: RenderConfig) -> float:
     view, from the binning stage's own count arithmetic."""
     from splat_tpu.render.api import pair_stats
 
-    n_views = jnp.asarray(cameras.position).shape[0]
+    n_views = _num_views(cameras)
     n = max(scene.num_gaussians, 1)
     worst = 0
     for i in range(n_views):
@@ -235,14 +235,58 @@ def _required_dup_factor(scene, cameras, config: RenderConfig) -> float:
     return worst * 1.05 / n
 
 
+def _num_views(cameras) -> int:
+    """Leading view-axis length of a batched camera pytree (works for
+    both the orbit Camera and SE3Camera — every traced leaf carries the
+    same leading axis)."""
+    import numpy as _np
+
+    return int(_np.shape(jax.tree.leaves(cameras)[0])[0])
+
+
+def _slot_demand_fn(cameras, config: RenderConfig):
+    """Traced max pair-slot demand over all views as a function of the
+    raw params — the in-scan overflow monitor.
+
+    The up-front audit (+5% margin) is a heuristic, not a bound: within
+    a long jitted segment the optimizer can grow splat footprints past
+    the margin and silently truncate the forward.  This closure runs
+    INSIDE the training scan (one extra projection pass per view per
+    step, O(N) — noise next to the O(pairs) forward+backward), max-
+    reduces across steps, and fit() checks the segment max host-side at
+    every segment boundary so truncation is detected (and capacity
+    auto-raised) rather than silent."""
+    from splat_tpu.ops.projection import project_gaussians
+    from splat_tpu.render.binning import count_pairs
+
+    if config.supersample > 1:
+        cameras = cameras.scaled(config.supersample)
+
+    def demand(raw: "RawParams"):
+        scene = raw.to_scene()
+
+        def one(cam):
+            visible, pairs = count_pairs(
+                project_gaussians(scene, cam, config), cam.h, cam.w,
+                config)
+            sentinels = (scene.num_gaussians - visible
+                         if config.binning_key == "depth" else 0)
+            return pairs + sentinels
+
+        return jnp.max(jax.vmap(one)(cameras))
+
+    return demand
+
+
 def _check_tiled_capacity(scene, cameras, config: RenderConfig) -> None:
     """A silently-truncated TRAINING forward would bias every gradient;
     render_tiled_diff is jit-traced and cannot host-sync an overflow
-    check per step, so fit() audits the capacity up front (and again at
-    every densification boundary, where the topology change can shrink
-    k_cap below the surviving splats' demand — see fit()).  Same
-    no-silent-truncation contract as every public render path
-    (config.py)."""
+    check per step, so fit() audits the capacity up front, monitors the
+    per-step demand inside every jitted segment (``_slot_demand_fn``),
+    and re-audits at every densification boundary (where the topology
+    change can shrink k_cap below the surviving splats' demand — see
+    fit()).  Same no-silent-truncation contract as every public render
+    path (config.py)."""
     need = _required_dup_factor(scene, cameras, config)
     if config.max_dup_factor < need:
         n = max(scene.num_gaussians, 1)
@@ -460,7 +504,7 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
             from jax.sharding import PartitionSpec as P
 
             n_d = mesh.shape["d"]
-            n_views = jnp.asarray(cameras.position).shape[0]
+            n_views = _num_views(cameras)
             if n_views % n_d:
                 raise ValueError(f"{n_views} views not divisible by "
                                  f"mesh 'd' axis {n_d}")
@@ -514,23 +558,28 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
             * jnp.exp(frac * jnp.float32(math.log(decay[name]))),
             label_tree)
 
-    @partial(jax.jit, static_argnames=("length", "seg_loss"))
-    def run_segment(raw, opt_state, step0, length, seg_loss):
+    @partial(jax.jit, static_argnames=("length", "seg_loss", "demand_fn"))
+    def run_segment(raw, opt_state, step0, length, seg_loss,
+                    demand_fn=None):
         def body(carry, i):
-            raw, opt_state, gsum = carry
+            raw, opt_state, gsum, dmax = carry
             loss, grads = jax.value_and_grad(seg_loss)(raw)
             gnorm = jnp.linalg.norm(grads.means, axis=1)
+            if demand_fn is not None:
+                # demand of the state the gradient was computed AT
+                dmax = jnp.maximum(dmax, demand_fn(raw))
             updates, opt_state = opt.update(grads, opt_state)
             updates = jax.tree.map(
                 lambda u, s: u * s, updates,
                 _lr_tree(step0 + i.astype(jnp.float32)))
             raw = optax.apply_updates(raw, updates)
-            return (raw, opt_state, gsum + gnorm), loss
+            return (raw, opt_state, gsum + gnorm, dmax), loss
 
         gsum0 = jnp.zeros(raw.means.shape[0], jnp.float32)
-        (raw, opt_state, gsum), losses = jax.lax.scan(
-            body, (raw, opt_state, gsum0), jnp.arange(length))
-        return raw, opt_state, gsum, losses
+        (raw, opt_state, gsum, dmax), losses = jax.lax.scan(
+            body, (raw, opt_state, gsum0, jnp.int32(0)),
+            jnp.arange(length))
+        return raw, opt_state, gsum, dmax, losses
 
     # Segment boundaries: the union of densification, opacity-reset, and
     # SH-warmup events (each segment is one jitted lax.scan; events are
@@ -554,6 +603,32 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
     all_losses = []
     densify_log = []
     opt_state = opt.init(raw)
+    monitor = (_slot_demand_fn(cameras, config)
+               if loss_fn is None and method == "tiled" else None)
+
+    def _capacity_margin_check(dmax_val, n):
+        """Host-side per-segment-boundary capacity check against the
+        IN-SEGMENT measured demand (ADVICE r4: the 5% up-front margin is
+        a heuristic; footprints drift during optimization)."""
+        nonlocal config
+        k_cap = int(config.max_dup_factor * n)
+        if dmax_val > k_cap:
+            # truncation DID occur inside this segment
+            new_dup = math.ceil(dmax_val * 1.05 / n * 20) / 20
+            warnings.warn(
+                f"fit: splat footprints grew past the capacity margin "
+                f"mid-segment (peak demand {dmax_val} slots > k_cap "
+                f"{k_cap}); that segment's gradients were computed on a "
+                f"truncated forward — raising max_dup_factor to "
+                f"{new_dup} for the remaining steps", stacklevel=2)
+        elif dmax_val * 1.05 > k_cap:
+            # approaching the ceiling: raise preemptively (free here —
+            # the boundary is already a host sync point)
+            new_dup = math.ceil(dmax_val * 1.10 / n * 20) / 20
+        else:
+            return
+        config = dataclasses.replace(config, max_dup_factor=new_dup)
+        _loss_cache.clear()
     # Positional-gradient statistic for densification accumulates over
     # the FULL window since the last densification (the recipe's
     # definition), even when warmup/opacity-reset boundaries split that
@@ -562,14 +637,17 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
     for i in range(len(edges) - 1):
         b0, b1 = edges[i], edges[i + 1]
         seg = b1 - b0
-        raw, opt_state, gsum, losses = run_segment(
+        raw, opt_state, gsum, dmax, losses = run_segment(
             raw, opt_state, jnp.float32(b0), length=seg,
-            seg_loss=_loss_for_degree(_degree_at(b0)))
+            seg_loss=_loss_for_degree(_degree_at(b0)),
+            demand_fn=monitor)
         all_losses.append(losses)
         gsum_acc = gsum if gsum_acc is None else gsum_acc + gsum
         gsteps += seg
         if progress_cb is not None:
             progress_cb(b1, float(losses[-1]), raw.means.shape[0])
+        if monitor is not None:
+            _capacity_margin_check(int(dmax), raw.means.shape[0])
         if b1 == steps:
             break
         if densify_every and b1 % densify_every == 0:

@@ -161,6 +161,20 @@ def serve(scene, camera, config=None, *, host: str = "127.0.0.1",
         key = (mode, scale)
         if key not in fns:
             cfg = dataclasses.replace(config, render_mode=mode)
+            if m == "tiled" and scale > 1.0:
+                # Pair demand grows ~scale² with pixels while the serve
+                # config was capacity-sized at the 1.0x pose (CLI
+                # --dup-factor auto): without this the 2.0x rung
+                # overflows ~4x out of the box.  Scaling the 1.0x-sized
+                # dup factor by scale² is always sufficient (pairs grow
+                # ≤ scale², per-gaussian sentinel slots don't grow at
+                # all); quantize so the per-(mode, scale) compile shapes
+                # stay bucket-stable across nearby configs.
+                import math
+
+                dup = math.ceil(
+                    config.max_dup_factor * scale * scale * 4) / 4
+                cfg = dataclasses.replace(cfg, max_dup_factor=dup)
             if m == "tiled":
                 from splat_tpu.render.tiled import render_tiled
 

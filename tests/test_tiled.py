@@ -657,3 +657,36 @@ class TestAutoCapacity:
             render(scene, cam, cfg, method="tiled")
         except RuntimeError as e:
             assert "overflow" in str(e)  # tight capacity stays tight
+
+    def test_render_auto_config_is_cached_per_scene(self, monkeypatch):
+        """The auto-capacity measurement is one extra jit dispatch
+        (~100 ms host sync on the remote-attached backend): a frame loop
+        over render() must pay it once per (scene, resolution), not per
+        frame (ADVICE r4)."""
+        from splat_tpu.render import api
+        scene = random_scene(5000, seed=5).pack_device()
+        cam = Camera.create(h=64, w=64, position=(0.0, 0.0, 4.0))
+        calls = []
+        real = api.auto_config
+        monkeypatch.setattr(api, "auto_config",
+                            lambda *a, **k: calls.append(1) or real(*a, **k))
+        api._AUTO_CONFIG_CACHE.clear()
+        api.render(scene, cam)
+        api.render(scene, cam.rotate(dyaw=0.1))
+        api.render(scene, cam.rotate(dyaw=0.2))
+        assert len(calls) == 1, f"auto_config ran {len(calls)}x for one scene"
+
+    def test_render_auto_config_remeasures_on_overflow(self):
+        """A cached auto capacity outgrown by a pose change must be
+        re-measured and retried, never raise to the caller or truncate."""
+        from splat_tpu.render import api
+        host = random_scene(5000, seed=5, extent=2.0,
+                            scale_range=(0.01, 0.05))
+        scene = host.pack_device()
+        far = Camera.create(h=96, w=96, position=(0.0, 0.0, 12.0))
+        near = Camera.create(h=96, w=96, position=(0.0, 0.0, 1.2))
+        api._AUTO_CONFIG_CACHE.clear()
+        api.render(scene, far)   # sizes capacity at the light pose
+        img = np.asarray(api.render(scene, near))  # heavier: must retry
+        gold = render_oracle(host, near, RenderConfig())
+        assert float(psnr(img, gold)) >= 45.0

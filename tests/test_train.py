@@ -314,6 +314,36 @@ def test_fit_data_parallel_mesh_matches_single_device():
                                rtol=1e-3, atol=1e-6)
 
 
+def test_fit_data_parallel_tiled_matches_single_device():
+    """mesh= + method='tiled': shard_map wrapped around the Pallas
+    custom-VJP pair — the composition production-scale training needs.
+    Gradient flow (losses + fitted params) must match the single-device
+    tiled run exactly (scene replicated, grad psum via the shard_map
+    transpose)."""
+    from splat_tpu.parallel.sharding import make_mesh
+    scene = _device_scene(random_scene(12, seed=6, extent=0.8,
+                                       scale_range=(0.12, 0.25)))
+    cams = orbit_trajectory(Camera.create(h=32, w=32,
+                                          position=(0.0, 0.0, 3.0)),
+                            num_frames=4, yaw_sweep=1.0)
+    config = RenderConfig(sh_degree=0, max_dup_factor=8.0)
+    targets = jax.vmap(lambda c: render_dense(scene, c, config))(cams)
+    start = dataclasses.replace(scene, sh=scene.sh * 0.6)
+    mesh = make_mesh(n_data=4, n_gaussian=2)
+    r_single = fit(start, cams, targets, steps=3, lr=1e-2, config=config,
+                   method="tiled")
+    r_dp = fit(start, cams, targets, steps=3, lr=1e-2, config=config,
+               method="tiled", mesh=mesh)
+    np.testing.assert_allclose(np.asarray(r_dp.losses),
+                               np.asarray(r_single.losses),
+                               rtol=2e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(r_dp.raw.sh),
+                               np.asarray(r_single.raw.sh),
+                               rtol=1e-3, atol=1e-6)
+    # and it actually learned (not a frozen no-op composition)
+    assert float(r_dp.losses[-1]) < float(r_dp.losses[0])
+
+
 def test_fit_data_parallel_rejects_indivisible_views():
     import pytest
     from splat_tpu.parallel.sharding import make_mesh
@@ -530,13 +560,19 @@ def test_fit_densify_reaudits_tiled_capacity():
     boundary and auto-raise max_dup_factor instead of silently
     truncating every subsequent gradient."""
     import pytest
+    from splat_tpu.render.api import pair_stats
     n = 64
     scene = random_scene(n, seed=6)
     # 16 big opaque splats at the image center (4 tile pairs each at
-    # 64x64 / tile 32) + 48 nearly-transparent ones that the first
-    # densification round prunes (1 slot each).
+    # 64x64 / tile 32: the center is the corner of all four tiles) + 48
+    # nearly-transparent ones placed INSIDE tile (0,0) — offset so they
+    # cost 1 pair each, not 4 (the round-4 version of this fixture put
+    # them on the tile corner too, and the INITIAL audit rejected it
+    # before densification ever ran).
     means = np.zeros((n, 3), np.float32)
     means[:, 2] = np.linspace(-0.2, 0.2, n)
+    means[16:, 0] = -1.8   # ~px 17 at focal 32 / depth ~4: mid-tile
+    means[16:, 1] = -1.8
     opac = np.full((n,), 0.004, np.float32)   # < min_opacity -> pruned
     opac[:16] = 0.95
     scales = np.full((n, 3), 0.02, np.float32)
@@ -546,9 +582,21 @@ def test_fit_densify_reaudits_tiled_capacity():
     cams = orbit_trajectory(Camera.create(h=64, w=64,
                                           position=(0.0, 0.0, 4.0)),
                             num_frames=1)
+    cam0 = jax.tree.map(lambda a: a[0], cams,
+                        is_leaf=lambda a: hasattr(a, "shape"))
     targets = jnp.zeros((1, 64, 64, 3))
-    # passes the INITIAL audit (slots ~= 16*4 + 48 = 112 <= 2.0*64)
     config = RenderConfig(max_dup_factor=2.0, sh_degree=0)
+    # Author the capacity arithmetic from the binning stage itself, not
+    # hand geometry: the INITIAL audit must pass (demand*1.05 <= 2.0*64)
+    # and the POST-PRUNE demand (16 survivors) must exceed 2.0*16.
+    demand0 = pair_stats(scene, cam0, config)["slots"]
+    surviving = dataclasses.replace(
+        scene, means=means[:16], quats=np.asarray(scene.quats)[:16],
+        scales=scales[:16], opacities=opac[:16],
+        sh=np.asarray(scene.sh)[:16])
+    demand1 = pair_stats(surviving, cam0, config)["slots"]
+    assert demand0 * 1.05 <= 2.0 * n, demand0      # initial audit passes
+    assert demand1 * 1.05 > 2.0 * 16, demand1      # re-audit must trip
     with pytest.warns(UserWarning, match="max_dup_factor"):
         res = fit(scene, cams, targets, steps=2, method="tiled",
                   config=config, densify_every=1,
@@ -558,3 +606,44 @@ def test_fit_densify_reaudits_tiled_capacity():
     assert res.densify_log and res.densify_log[0]["pruned"] == 48
     assert res.raw.means.shape[0] == 16
     assert np.isfinite(np.asarray(res.losses)).all()
+    # Truncation WOULD have occurred without the auto-raise: the fitted
+    # parameters must match an amply-provisioned run exactly (the only
+    # difference is k_cap padding, which must not change any gradient).
+    ample = fit(scene, cams, targets, steps=2, method="tiled",
+                config=dataclasses.replace(config, max_dup_factor=8.0),
+                densify_every=1,
+                densify_kwargs=dict(grad_threshold=1e9,
+                                    min_opacity=0.005, pad_multiple=1))
+    for k in ("means", "quats", "log_scales", "logit_opacities", "sh"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(res.raw, k)),
+            np.asarray(getattr(ample.raw, k)), rtol=0, atol=1e-6,
+            err_msg=f"auto-raised run diverged from ample run on {k}")
+
+
+def test_fit_tiled_detects_midsegment_capacity_drift():
+    """The up-front audit's +5% margin is a heuristic: within a jitted
+    segment the optimizer can grow footprints past it.  fit() monitors
+    the per-step slot demand inside the scan and must warn (and raise
+    capacity) at the segment boundary instead of staying silent."""
+    import pytest
+    n = 8
+    scene = random_scene(n, seed=7)
+    # small splats mid-tile (1 pair each): initial demand n, margin OK
+    means = np.full((n, 3), 0.0, np.float32)
+    means[:, 0] = -1.8
+    means[:, 1] = -1.8
+    means[:, 2] = np.linspace(-0.1, 0.1, n)
+    scene = dataclasses.replace(
+        scene, means=means,
+        scales=np.full((n, 3), 0.05, np.float32),
+        opacities=np.full((n,), 0.8, np.float32))
+    cams = orbit_trajectory(Camera.create(h=64, w=64,
+                                          position=(0.0, 0.0, 4.0)),
+                            num_frames=1)
+    # white target + huge scale lr: footprints blow up within steps
+    targets = jnp.ones((1, 64, 64, 3))
+    config = RenderConfig(max_dup_factor=1.25, sh_degree=0)
+    with pytest.warns(UserWarning, match="mid-segment"):
+        fit(scene, cams, targets, steps=8, method="tiled", lr=0.5,
+            lr_scales={"log_scales": 10.0}, config=config)
