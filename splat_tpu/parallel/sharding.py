@@ -233,6 +233,76 @@ def _render_slab_tiled(proj, row0, h_local: int, w: int,
             bins.overflow)
 
 
+def render_slab_tiled_diff(scene_local, camera: Camera,
+                           config: RenderConfig,
+                           interpret: bool | None = None):
+    """DIFFERENTIABLE tensor-parallel tiled render — call INSIDE a
+    shard_map with a ``"g"`` axis, scene leaves sharded on the gaussian
+    axis.  Returns the full (H, W, C) image (identical on every chip).
+
+    TP TRAINING composition (round 5; SURVEY §2.3 TP row extended to
+    training): each chip projects its own parameter shard
+    (differentiable, local), all_gathers the four differentiable
+    projected fields over ``"g"`` (the transpose — a psum-scatter —
+    routes the pixel-side cotangents back to the OWNING shard, which is
+    exactly the gradient communication TP training needs), rasterizes
+    its row slab through the custom-VJP core, and all_gathers the slabs
+    into the full image (transpose: slab slicing).  Parameters,
+    gradients, and optimizer state all stay sharded — the >HBM-scene
+    training memory plan; only the compact projected records (~13 f32 vs
+    ~177 f32 of param+adam state) and the image are replicated.
+
+    Restrictions: supersample == 1 (slab grids at the supersampled
+    resolution are not wired), H divisible by the ``"g"`` axis size.
+    """
+    if config.supersample != 1:
+        raise NotImplementedError(
+            "TP training with supersample > 1 is not supported")
+    _check_sharded_config(config)
+    from splat_tpu.render.diff import _check_config, core_from_proj
+    _check_config(config)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    h, w = camera.h, camera.w
+    n_g = jax.lax.axis_size("g")
+    if h % n_g:
+        raise ValueError(f"image height {h} not divisible by g={n_g}")
+    h_local = h // n_g
+
+    proj_local = project_gaussians(scene_local, camera, config)
+    gather = lambda a: jax.lax.all_gather(a, "g", axis=0, tiled=True)
+    center = gather(proj_local.center_px)
+    conic = gather(proj_local.conic)
+    color = gather(proj_local.color)
+    opacity = gather(proj_local.opacity)
+    sg = jax.lax.stop_gradient
+    depth = gather(sg(proj_local.depth))
+    radius = gather(sg(proj_local.radius_px))
+    visible = gather(sg(proj_local.visible))
+
+    # shift centers into this chip's slab frame and re-gate visibility
+    # to bbox-intersecting splats (same geometry as _render_slab_tiled)
+    row0 = (jax.lax.axis_index("g") * h_local).astype(jnp.float32)
+    center = center - jnp.stack([jnp.zeros_like(row0), row0])[None, :]
+    cy = center[:, 1]
+    visible = (visible & (cy + radius[:, 1] > 0)
+               & (cy - radius[:, 1] < h_local))
+
+    proj = ProjectedGaussians(depth=depth, center_px=center, conic=conic,
+                              radius_px=radius, color=color,
+                              opacity=opacity, visible=visible)
+    c_raw, lt = core_from_proj(proj, h_local, w, config, interpret)
+
+    # finalize exactly as render_tiled_diff does (render/diff.py)
+    t_n = jnp.exp(lt)
+    bg = jnp.asarray(config.background, jnp.float32)
+    img = jnp.clip(c_raw + t_n[..., None] * bg, 0.0, 1.0)
+    if config.alpha_channel:
+        img = jnp.concatenate(
+            [img, jnp.clip(1.0 - t_n, 0.0, 1.0)[..., None]], axis=-1)
+    return jax.lax.all_gather(img, "g", axis=0, tiled=True)
+
+
 def _resolve_route(route: str, n_g: int) -> str:
     """'auto' -> measured crossover (scripts/a2a_crossover.py, recorded in
     ARCHITECTURE.md): with the default cap ``min(1, 4/n_g) * N_local``,

@@ -723,43 +723,70 @@ def _scatter_pair_grads(grads, pad_base, base_t, bins, proj, n, config):
     return seg[:GRAD_SEM] + seg[GRAD_SEM:]
 
 
-def _core_fwd_impl(scene, camera, config, interpret):
-    proj = project_gaussians(scene, camera, config)
-    bins = build_tile_bins(proj, camera.h, camera.w, config,
-                           interpret=interpret)
-    c_raw, lt = _fwd_raster(bins, camera.h, camera.w, config, interpret)
+def _rebuild_proj(fields, aux):
+    """Reassemble a ProjectedGaussians from the custom-VJP input split
+    (differentiable fields, stop-gradient aux)."""
+    from splat_tpu.ops.projection import ProjectedGaussians
+
+    center, conic, color, opacity = fields
+    depth, radius_px, vis_f = aux
+    return ProjectedGaussians(depth=depth, center_px=center, conic=conic,
+                              radius_px=radius_px, color=color,
+                              opacity=opacity, visible=vis_f > 0.5)
+
+
+def _core_proj_impl(fields, aux, h, w, config, interpret):
+    proj = _rebuild_proj(fields, aux)
+    bins = build_tile_bins(proj, h, w, config, interpret=interpret)
+    c_raw, lt = _fwd_raster(bins, h, w, config, interpret)
     return c_raw, lt, bins
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _core(scene, camera, config, interpret):
-    c_raw, lt, _ = _core_fwd_impl(scene, camera, config, interpret)
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _core_proj(fields, aux, h, w, config, interpret):
+    """The custom-VJP boundary since round 5: (projected quantities) ->
+    (raw C, logT).
+
+    Moving the boundary from (scene, camera) to the PROJECTED per-
+    gaussian quantities buys two things at once: (a) the backward no
+    longer re-runs the projection (jax's own autodiff of
+    project_gaussians supplies the pullback, one pass instead of the
+    old fwd-in-bwd re-projection), and (b) tensor-parallel TRAINING
+    composes naturally — a sharded caller all_gathers each chip's
+    projected fields over the gaussian axis and calls this; the
+    all_gather's transpose (psum-scatter) routes the pixel-side
+    cotangents back to the owning shard (parallel/sharding.py).
+
+    ``fields`` = (center_px, conic, color, opacity) — differentiable.
+    ``aux`` = (depth, radius_px, visible-as-f32) — zero cotangent (the
+    binning machinery: orderings, spans, indicators).
+    """
+    c_raw, lt, _ = _core_proj_impl(fields, aux, h, w, config, interpret)
     return c_raw, lt
 
 
-def _core_fwd(scene, camera, config, interpret):
-    c_raw, lt, bins = _core_fwd_impl(scene, camera, config, interpret)
-    return (c_raw, lt), (scene, camera, bins, lt)
+def _core_proj_fwd(fields, aux, h, w, config, interpret):
+    c_raw, lt, bins = _core_proj_impl(fields, aux, h, w, config,
+                                      interpret)
+    return (c_raw, lt), (fields, aux, bins, lt)
 
 
-def _core_bwd(config, interpret, res, cts):
-    scene, camera, bins, lt = res
+def _core_proj_bwd(h, w, config, interpret, res, cts):
+    fields, aux, bins, lt = res
+    center, conic, color, opacity = fields
     g_c, g_lt = cts
-    n = scene.num_gaussians
+    n = center.shape[0]
     chunk = config.chunk
 
     grads, pad_base, base_t = _bwd_raster(
-        bins, g_c, g_lt, lt, camera.h, camera.w, config, interpret)
-    _, pullback, proj = jax.vjp(
-        lambda s, cam: _proj_arrays(s, cam, config), scene, camera,
-        has_aux=True)
+        bins, g_c, g_lt, lt, h, w, config, interpret)
     if bins.ranks.shape[0] >= (1 << 24):
         # f32 k_global row loses integer exactness at 2^24 slots
         per_g = _scatter_pair_grads_xla(grads, pad_base, base_t, bins, n,
                                         chunk)
     else:
-        per_g = _scatter_pair_grads(grads, pad_base, base_t, bins, proj,
-                                    n, config)
+        per_g = _scatter_pair_grads(grads, pad_base, base_t, bins,
+                                    _rebuild_proj(fields, aux), n, config)
 
     # per-pair rows were computed against the PACKED values: rows 2-4 are
     # the prescaled conic (-a/2, -b, -c/2); undo the prescale here
@@ -773,17 +800,38 @@ def _core_bwd(config, interpret, res, cts):
     # straight-through the u16 packing; the pack clips color AND opacity
     # to [0, 1] (binning._pack_u16), whose subgradient masks
     # out-of-range values (same as the clip the dense path applies)
-    in01 = (proj.color >= 0.0) & (proj.color <= 1.0)
+    in01 = (color >= 0.0) & (color <= 1.0)
     d_color = jnp.where(in01, d_color_packed, 0.0)
-    d_opacity = jnp.where((proj.opacity >= 0.0) & (proj.opacity <= 1.0),
+    d_opacity = jnp.where((opacity >= 0.0) & (opacity <= 1.0),
                           d_opacity, 0.0)
 
-    d_scene, d_camera = pullback(
-        (d_center, d_conic, d_color, d_opacity))
-    return d_scene, d_camera
+    return ((d_center, d_conic, d_color, d_opacity),
+            tuple(jnp.zeros_like(a) for a in aux))
 
 
-_core.defvjp(_core_fwd, _core_bwd)
+_core_proj.defvjp(_core_proj_fwd, _core_proj_bwd)
+
+
+def core_from_proj(proj, h: int, w: int, config: RenderConfig,
+                   interpret: bool):
+    """Differentiable (ProjectedGaussians -> raw C, logT).
+
+    The entry point for sharded callers that assemble a full projection
+    record from gathered shards (TP training, parallel/sharding.py);
+    gradients flow to center_px/conic/color/opacity, zero to the rest.
+    """
+    fields = (proj.center_px, proj.conic, proj.color, proj.opacity)
+    aux = (jax.lax.stop_gradient(proj.depth),
+           jax.lax.stop_gradient(proj.radius_px),
+           jax.lax.stop_gradient(proj.visible.astype(jnp.float32)))
+    return _core_proj(fields, aux, h, w, config, interpret)
+
+
+def _core(scene, camera, config, interpret):
+    """(scene, camera) -> (raw C, logT), differentiable: plain-JAX
+    projection (autodiffed) composed with the custom-VJP raster core."""
+    proj = project_gaussians(scene, camera, config)
+    return core_from_proj(proj, camera.h, camera.w, config, interpret)
 
 
 def render_tiled_diff(scene, camera: Camera,

@@ -504,11 +504,47 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
             from jax.sharding import PartitionSpec as P
 
             n_d = mesh.shape["d"]
+            n_g = dict(mesh.shape).get("g", 1)
             n_views = _num_views(cameras)
             if n_views % n_d:
                 raise ValueError(f"{n_views} views not divisible by "
                                  f"mesh 'd' axis {n_d}")
             cam_specs = jax.tree.map(lambda _: P("d"), cameras)
+            tp = n_g > 1 and method == "tiled" and loss_fn is None
+
+            if tp:
+                # TENSOR-PARALLEL training (gaussian axis "g"): scene
+                # parameters, gradients, and adam state shard over "g";
+                # each chip projects its own shard, the projected
+                # fields all_gather, each chip rasterizes its row slab
+                # through the custom-VJP core, and the all_gather
+                # transpose (psum-scatter) routes pixel-side cotangents
+                # back to the owning shard — the >HBM-scene training
+                # plan (SURVEY §2.3 TP row extended to training).
+                from splat_tpu.parallel.sharding import (
+                    render_slab_tiled_diff)
+
+                def shard_loss_tp(r, cams_l, targets_l):
+                    def one_view(ct):
+                        cam_l, tgt = ct
+                        img = render_slab_tiled_diff(r.to_scene(), cam_l,
+                                                     cfg)
+                        err = img - tgt
+                        l = (jnp.mean(err * err)
+                             + l1_weight * jnp.mean(jnp.abs(err)))
+                        if dssim_weight:
+                            l = l + dssim_weight * (1.0 - ssim(img, tgt))
+                        return l
+                    losses = jax.lax.map(one_view, (cams_l, targets_l))
+                    l = jnp.mean(losses)
+                    return jax.lax.pmean(jax.lax.pmean(l, "d"), "g")
+
+                mapped = jax.shard_map(
+                    shard_loss_tp, mesh=mesh,
+                    in_specs=(jax.tree.map(lambda _: P("g"), raw),
+                              cam_specs, P("d")),
+                    out_specs=P(), check_vma=False)
+                return lambda r: mapped(r, cameras, targets)
 
             def shard_loss(r, cams_l, targets_l):
                 l = photometric_loss(r, cams_l, targets_l, cfg,
@@ -539,6 +575,27 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
 
     if loss_fn is None and method == "tiled":
         _check_tiled_capacity(scene, cameras, config)
+
+    _tp_g = (dict(mesh.shape).get("g", 1)
+             if mesh is not None and method == "tiled" and loss_fn is None
+             else 1)
+
+    def _check_tp_divisibility(n):
+        if _tp_g > 1 and n % _tp_g:
+            raise ValueError(
+                f"TP training shards the {n} gaussians over the mesh "
+                f"'g' axis ({_tp_g}): N must be divisible (pad the "
+                f"scene, or set densify pad_multiple to a multiple of "
+                f"{_tp_g})")
+
+    _check_tp_divisibility(scene.num_gaussians)
+    if _tp_g > 1 and densify_every:
+        pm = (densify_kwargs or {}).get("pad_multiple", 256)
+        if pm % _tp_g:
+            raise ValueError(
+                f"TP training with densification needs densify "
+                f"pad_multiple ({pm}) divisible by the 'g' axis "
+                f"({_tp_g}) so every topology keeps N % g == 0")
 
     label_tree = RawParams(means="means", quats="quats",
                            log_scales="log_scales",
@@ -655,6 +712,7 @@ def fit(scene: GaussianScene, cameras: Camera, targets,
                 raw, jnp.asarray(gsum_acc) / gsteps,
                 **(densify_kwargs or {}))
             densify_log.append(stats)
+            _check_tp_divisibility(raw.means.shape[0])
             opt_state = opt.init(raw)  # topology changed
             gsum_acc, gsteps = None, 0  # stats window restarts
             if loss_fn is None and method == "tiled":

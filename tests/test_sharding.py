@@ -282,3 +282,52 @@ def test_prepare_scene_for_sharding_permutes_when_clustered():
     same, permuted2 = prepare_scene_for_sharding(scene, 8)
     assert not permuted2
     assert same is scene
+
+
+def test_render_slab_tiled_diff_matches_single_device():
+    """The TP-training forward (render_slab_tiled_diff inside shard_map,
+    scene sharded over 'g') must match render_tiled_diff on one device,
+    and its gradients must psum-scatter back to the owning shards."""
+    from jax.sharding import PartitionSpec as P
+
+    from splat_tpu.parallel.sharding import render_slab_tiled_diff
+    from splat_tpu.render.diff import render_tiled_diff
+
+    scene = jax.tree.map(jnp.asarray,
+                         random_scene(64, seed=13, extent=1.5,
+                                      scale_range=(0.05, 0.15)))
+    cam = Camera.create(h=64, w=64, position=(0.0, 0.0, 4.0))
+    config = RenderConfig(sh_degree=0, max_dup_factor=8.0)
+    mesh = make_mesh(n_data=1, n_gaussian=8)
+
+    mapped = jax.shard_map(
+        lambda s: render_slab_tiled_diff(s, cam, config),
+        mesh=mesh, in_specs=(jax.tree.map(lambda _: P("g"), scene),),
+        out_specs=P(), check_vma=False)
+    got = np.asarray(mapped(scene))
+    want = np.asarray(render_tiled_diff(scene, cam, config))
+    # per-slab binning quantizes depth keys over each slab's own visible
+    # range, so exact-depth TIES at tile boundaries may composite in a
+    # different order than the full-frame binning — same equivalence
+    # class as the inference slab path (render_sharded_tiled asserts
+    # PSNR, not bits).  Image must agree to >= 55 dB with < 0.2% of
+    # pixels differing at all.
+    p = psnr(got, want)
+    assert p >= 55.0, f"TP forward vs single-device PSNR {p:.2f}"
+    assert (np.abs(got - want) > 1e-6).mean() < 0.002
+
+    # gradient parity: d loss / d scene params, sharded vs single device
+    def loss_tp(s):
+        return jnp.mean((mapped(s) - 0.25) ** 2)
+
+    def loss_1(s):
+        return jnp.mean((render_tiled_diff(s, cam, config) - 0.25) ** 2)
+
+    g_tp = jax.grad(loss_tp)(scene)
+    g_1 = jax.grad(loss_1)(scene)
+    for name in ("means", "scales", "opacities", "sh"):
+        a = np.asarray(getattr(g_tp, name)).ravel()
+        b = np.asarray(getattr(g_1, name)).ravel()
+        cos = float(a @ b / np.sqrt((a @ a) * (b @ b) + 1e-30))
+        assert cos > 0.9999, f"TP gradient mismatch on {name}: cos {cos}"
+

@@ -344,6 +344,61 @@ def test_fit_data_parallel_tiled_matches_single_device():
     assert float(r_dp.losses[-1]) < float(r_dp.losses[0])
 
 
+def test_fit_tensor_parallel_tiled_matches_single_device():
+    """mesh 'g' axis + method='tiled' = TENSOR-PARALLEL training: scene
+    params/grads/adam state shard over gaussians, projected fields
+    all_gather, each chip rasterizes its row slab, and the all_gather
+    transpose (psum-scatter) routes pixel cotangents back to the owning
+    shard.  Must match the single-device tiled run to ~1e-5 (the >HBM
+    training plan, SURVEY §2.3 TP row extended to training)."""
+    from splat_tpu.parallel.sharding import make_mesh
+    scene = _device_scene(random_scene(16, seed=6, extent=0.8,
+                                       scale_range=(0.12, 0.25)))
+    cams = orbit_trajectory(Camera.create(h=32, w=32,
+                                          position=(0.0, 0.0, 3.0)),
+                            num_frames=2, yaw_sweep=1.0)
+    config = RenderConfig(sh_degree=0, max_dup_factor=8.0)
+    targets = jax.vmap(lambda c: render_dense(scene, c, config))(cams)
+    start = dataclasses.replace(scene, sh=scene.sh * 0.6)
+    mesh = make_mesh(n_data=2, n_gaussian=4)
+    r_single = fit(start, cams, targets, steps=3, lr=1e-2, config=config,
+                   method="tiled")
+    r_tp = fit(start, cams, targets, steps=3, lr=1e-2, config=config,
+               method="tiled", mesh=mesh)
+    np.testing.assert_allclose(np.asarray(r_tp.losses),
+                               np.asarray(r_single.losses),
+                               rtol=1e-5, atol=1e-8)
+    for k in ("means", "sh", "log_scales", "logit_opacities"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(r_tp.raw, k)),
+            np.asarray(getattr(r_single.raw, k)), rtol=1e-4, atol=1e-6,
+            err_msg=f"TP diverged from single-device on {k}")
+    assert float(r_tp.losses[-1]) < float(r_tp.losses[0])
+
+
+def test_fit_tensor_parallel_rejects_indivisible_n():
+    import pytest
+    from splat_tpu.parallel.sharding import make_mesh
+    scene = _device_scene(random_scene(10, seed=1))   # 10 % 4 != 0
+    cams = orbit_trajectory(Camera.create(h=32, w=32,
+                                          position=(0.0, 0.0, 3.0)),
+                            num_frames=2)
+    mesh = make_mesh(n_data=2, n_gaussian=4)
+    with pytest.raises(ValueError, match="divisible"):
+        fit(scene, cams, jnp.zeros((2, 32, 32, 3)), steps=1,
+            method="tiled",
+            config=RenderConfig(sh_degree=0, max_dup_factor=8.0),
+            mesh=mesh)
+    # densify pad_multiple must keep N % g == 0 across topologies
+    scene16 = _device_scene(random_scene(16, seed=1))
+    with pytest.raises(ValueError, match="pad_multiple"):
+        fit(scene16, cams, jnp.zeros((2, 32, 32, 3)), steps=2,
+            method="tiled", densify_every=1,
+            densify_kwargs={"pad_multiple": 3},
+            config=RenderConfig(sh_degree=0, max_dup_factor=8.0),
+            mesh=mesh)
+
+
 def test_fit_data_parallel_rejects_indivisible_views():
     import pytest
     from splat_tpu.parallel.sharding import make_mesh
