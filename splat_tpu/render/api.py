@@ -134,6 +134,11 @@ def pair_stats(scene, camera: Camera, config: RenderConfig | None = None):
     }
 
 
+# auto-sized configs keyed per scene OBJECT: the key carries id(scene)
+# plus a weakref so a recycled id (the original scene GC'd, a new one
+# allocated at the same address) can never serve a stale capacity —
+# with check_overflow=False a stale UNDERsized config would truncate
+# silently, the one failure mode the capacity design forbids.
 _AUTO_CONFIG_CACHE: dict = {}
 
 
@@ -172,14 +177,24 @@ def render(scene, camera: Camera, config: RenderConfig | None = None,
             # loop over render() pays it once, not per frame.  A pose
             # that outgrows the cached capacity is caught by the
             # overflow check below and re-measured — never silent.
+            import weakref
             cache_key = (id(scene), scene.num_gaussians, camera.h,
                          camera.w, config)
-            cfg = _AUTO_CONFIG_CACHE.get(cache_key)
+            hit = _AUTO_CONFIG_CACHE.get(cache_key)
+            cfg = None
+            if hit is not None:
+                ref, cfg = hit
+                if ref() is not scene:      # id recycled: stale entry
+                    cfg = None
             if cfg is None:
                 cfg = auto_config(scene, camera, config)
                 if len(_AUTO_CONFIG_CACHE) > 64:
                     _AUTO_CONFIG_CACHE.clear()
-                _AUTO_CONFIG_CACHE[cache_key] = cfg
+                try:
+                    _AUTO_CONFIG_CACHE[cache_key] = (weakref.ref(scene),
+                                                     cfg)
+                except TypeError:
+                    pass                    # un-weakref-able: skip cache
             config = cfg
     if m == "tiled" and check_overflow:
         from splat_tpu.render.tiled import render_tiled_checked
@@ -190,9 +205,14 @@ def render(scene, camera: Camera, config: RenderConfig | None = None,
                 raise
             # stale cached auto-capacity (the pose moved into a heavier
             # view): evict, re-measure at THIS pose, retry once
+            import weakref
             _AUTO_CONFIG_CACHE.pop(cache_key, None)
             config = auto_config(scene, camera, RenderConfig())
-            _AUTO_CONFIG_CACHE[cache_key] = config
+            try:
+                _AUTO_CONFIG_CACHE[cache_key] = (weakref.ref(scene),
+                                                 config)
+            except TypeError:
+                pass
             img = render_tiled_checked(scene, camera, config)
     else:
         img = render_fn(m, config)(scene, camera)

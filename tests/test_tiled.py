@@ -292,7 +292,10 @@ class TestTiledRender:
         through the feature-major DeviceScene hot path (auto-pack) and
         produce the same pixels as an explicit pack_device().  (ulp-level
         tolerance: the checked wrapper's return_stats program fuses
-        differently from the plain one.)"""
+        differently from the plain one — measured 2.7e-6 max abs after
+        the round-5 intrinsics_px projection refactor reassociated the
+        upstream math; this test gates ROUTING, precision parity is the
+        PSNR suite's job.)"""
         from splat_tpu.render.api import render
         cam = Camera.create(h=96, w=160, position=(0.0, 0.0, 4.0))
         cfg = _cfg()
@@ -300,7 +303,7 @@ class TestTiledRender:
                               method="tiled"))
         b = np.asarray(render_tiled(small_random_scene.pack_device(),
                                     cam, cfg, interpret=True))
-        np.testing.assert_allclose(a, b, atol=1e-6)
+        np.testing.assert_allclose(a, b, atol=1e-5)
 
     def test_empty_scene_renders_background(self):
         """A zero-gaussian scene must render pure background through the
