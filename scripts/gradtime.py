@@ -87,18 +87,18 @@ def main():
         proj = project_gaussians(r.to_scene(), c, config)
         bins = build_tile_bins(proj, c.h, c.w, config,
                                interpret=interpret)
-        c_raw, lt = D._fwd_raster(bins, c.h, c.w, config, interpret)
+        c_raw, lt, _ = D._fwd_raster(bins, c.h, c.w, config, interpret)
         return jnp.mean(c_raw) + jnp.mean(lt)
 
     def _bwd_parts(r, c):
         proj = project_gaussians(r.to_scene(), c, config)
         bins = build_tile_bins(proj, c.h, c.w, config,
                                interpret=interpret)
-        c_raw, lt = D._fwd_raster(bins, c.h, c.w, config, interpret)
+        c_raw, lt, cut = D._fwd_raster(bins, c.h, c.w, config, interpret)
         g_c = jnp.full_like(c_raw, 1e-3)
         g_lt = jnp.full_like(lt, 1e-3)
         grads, pad_base, base_t = D._bwd_raster(
-            bins, g_c, g_lt, lt, c.h, c.w, config, interpret)
+            bins, g_c, g_lt, lt, cut, c.h, c.w, config, interpret)
         return proj, bins, grads, pad_base, base_t, c_raw, lt
 
     def rasterbwd_val(r, c):

@@ -10,14 +10,35 @@ backward is a second Pallas kernel over the same per-tile pair ranges.
 Design (the TPU formulation of the INRIA backward recurrences):
 
 * **Forward** (`_fwd_kernel`): the light-path compositing walk of
-  render/kernels.py minus the saturation early-exit (every pair must
-  composite so the backward reconstruction is exact), emitting RAW
+  render/kernels.py with the approximate 1/255 saturation exit replaced
+  by an EXACT one (see "saturation cut" below), emitting RAW
   accumulated color C (no background, no clip) plus **log T** per pixel.
   Log-space transmittance is what makes the backward walk possible at
   all: after thousands of opaque pairs T underflows f32, and a
   multiplicative reconstruction from T_final would zero the gradients of
   every *front* splat — log T stays finite (~-1e4) and exp() underflows
   only where the gradient is genuinely ~0.
+* **Exact saturation cut** (round 5): once EVERY pixel of a tile has
+  logT < SAT_CUT_LOG (-105, below which f32 exp() is exactly +0.0) AND
+  the multiplicative transmittance carry reached exactly +0.0, every
+  later pair's forward contribution (T·contrib) and backward gradient
+  (w_i = α_i·T_i = 0, the D-suffix terms it feeds, and ḡlogT — which
+  the finalize computes as g·bg·exp(logT) = exact 0) are IEEE-exact
+  zeros.  The forward therefore early-exits there and emits the
+  per-tile cut window index; the backward walks only the cut windows in
+  reverse with full compute and ZERO-FILLS the remaining windows'
+  gradient slots (the k_global row must still be written so the
+  scatter's sorted-segment accounting sees every retained pair — the
+  fill is pure write bandwidth, all the VPU/MXU work is skipped).  The
+  forward image stays bit-identical to the uncut walk and the skipped
+  pairs' gradients are IEEE-exact zeros; pre-cut pairs' gradients shift
+  within f32 reconstruction rounding (~1e-7 rel — the logT anchor is
+  now the forward's own running sum at the cut instead of the final
+  value minus a suffix: fewer subtracted terms, better conditioned).
+  The two-condition guard matters because a denormal-stalled
+  multiplicative carry (factors > 0.5 per window hold the product at
+  2^-149 forever) can keep contributing denormal-sized bits to the
+  image long after the true T underflows.
 * **Finalize in plain JAX**: img = clip(C + exp(logT)·bg) (+ coverage
   channel) sits OUTSIDE the custom_vjp, so XLA autodiff handles the
   clip/background/alpha-channel/supersample chain for free and the
@@ -97,6 +118,14 @@ GRAD_SEM = 9
 GRAD_KG = 9
 GRAD_ROWS = 16
 
+# The exact-saturation threshold: exp(x) == +0.0 in f32 for every
+# x < ln(2^-150) ~ -103.97; -105 leaves margin.  Pairs behind a window
+# where ALL pixels are below it (and the multiplicative carry reached
+# exact +0.0 — see the module docstring on denormal stall) have
+# bit-exact zero forward contributions and gradients, so cutting there
+# is not an approximation.  Tests may monkeypatch to -inf to disable.
+SAT_CUT_LOG = -105.0
+
 
 def _window_decode(f, skip_bbox: bool):
     """Packed feature rows -> per-window rows (render/kernels.py decode)."""
@@ -159,7 +188,8 @@ def _alpha_window(w, op, pxc, pyc, alpha_clamp, alpha_min, skip_bbox):
 def _fwd_kernel(start_ref, end_ref, feat_hbm, out_ref,
                 feat_vmem, sem, img_ref, tr_ref, ltr_ref,
                 *, chunk, tile_w, tile_h, tiles_x, bs0, bs1,
-                alpha_clamp, alpha_min, color_precision, skip_bbox):
+                alpha_clamp, alpha_min, color_precision, skip_bbox,
+                sat_cut_log):
     t = pl.program_id(0)
     s = start_ref[t]
     e = end_ref[t]
@@ -196,7 +226,8 @@ def _fwd_kernel(start_ref, end_ref, feat_hbm, out_ref,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
-    def body(j, _):
+    def body(carry):
+        j, _ = carry
         slot = jax.lax.rem(j, NBUF)
         dma(slot, j).wait()
 
@@ -227,23 +258,48 @@ def _fwd_kernel(start_ref, end_ref, feat_hbm, out_ref,
         img_ref[...] = img_ref[...] + transmit * contrib
         # carry BOTH multiplicative T (weights; bit-parity with inference)
         # and additive logT (the backward's anchor)
-        tr_ref[...] = transmit * jnp.exp(lt_chunk)
-        ltr_ref[...] = ltr_ref[...] + lt_chunk
-        return 0
+        tr_new = transmit * jnp.exp(lt_chunk)
+        ltr_new = ltr_ref[...] + lt_chunk
+        tr_ref[...] = tr_new
+        ltr_ref[...] = ltr_new
+        # exact saturation: every later contribution AND gradient is an
+        # IEEE-exact zero (module docstring) — both conditions required
+        saturated = ((jnp.max(ltr_new) < sat_cut_log)
+                     & (jnp.max(tr_new) == 0.0))
+        return j + 1, saturated
 
-    jax.lax.fori_loop(0, nchunks, body, 0)
+    def cond(carry):
+        j, saturated = carry
+        return (j < nchunks) & jnp.logical_not(saturated)
+
+    j_end, _ = jax.lax.while_loop(cond, body,
+                                  (jnp.int32(0), jnp.bool_(False)))
+
+    # drain in-flight fetches on early exit (body j issues j + 2)
+    @pl.when(j_end < nchunks)
+    def _():
+        dma(jax.lax.rem(j_end, NBUF), j_end).wait()
+
+    @pl.when(j_end + 1 < nchunks)
+    def _():
+        dma(jax.lax.rem(j_end + 1, NBUF), j_end + 1).wait()
 
     img = img_ref[...]
     for c in range(3):
         out_ref[c, 0] = img[:, c:c + 1].reshape(bs0, bs1)
     out_ref[3, 0] = ltr_ref[...].reshape(bs0, bs1)
+    # per-tile cut window count as a broadcast f32 plane (exact: window
+    # counts << 2^24).  Mosaic rejects sub-(8,128) output blocks, so a
+    # dedicated (T, 1) output is not expressible; one extra (bs0, bs1)
+    # plane per tile is ~9 MB of writes at 1080p (~0.01 ms).
+    out_ref[4, 0] = jnp.full((bs0, bs1), j_end.astype(jnp.float32))
 
 
 # --------------------------------------------------------------------------
 # Backward kernel: reverse walk, per-pair gradients to a padded buffer.
 # --------------------------------------------------------------------------
 
-def _bwd_kernel(start_ref, end_ref, padbase_ref, feat_hbm,
+def _bwd_kernel(start_ref, end_ref, padbase_ref, cut_ref, feat_hbm,
                 g_ref, glt_ref, lt_ref, grad_hbm, dummy_ref,
                 feat_vmem, sem, gvm, wsem,
                 *, chunk, tile_w, tile_h, tiles_x, bs0, bs1,
@@ -253,6 +309,10 @@ def _bwd_kernel(start_ref, end_ref, padbase_ref, feat_hbm,
     e = end_ref[t]
     base = (s // 128) * 128
     nchunks = (e - base + chunk - 1) // chunk
+    # forward's exact saturation cut: windows >= cut hold bit-exact-zero
+    # gradients — the reverse walk covers [0, cut) with full compute and
+    # a zero-fill pass covers [cut, nchunks) (writes only, no reads)
+    cut = cut_ref[t]
     pad_base = padbase_ref[t]
     p = bs0 * bs1
     tile_y = t // tiles_x
@@ -289,20 +349,23 @@ def _bwd_kernel(start_ref, end_ref, padbase_ref, feat_hbm,
                                      grad_hbm.at[:, pl.ds(off, chunk)],
                                      wsem.at[slot])
 
-    # reverse prefetch: windows nchunks-1, nchunks-2
-    @pl.when(nchunks > 0)
+    # reverse prefetch: windows cut-1, cut-2 (the walk starts at the cut;
+    # the forward's residual logT plane is the value AT the cut, so the
+    # carries are seeded exactly as if the skipped windows were walked —
+    # their x-sums are definitionally absent from the anchor)
+    @pl.when(cut > 0)
     def _():
-        dma(jax.lax.rem(nchunks - 1, NBUF), nchunks - 1).start()
+        dma(jax.lax.rem(cut - 1, NBUF), cut - 1).start()
 
-    @pl.when(nchunks > 1)
+    @pl.when(cut > 1)
     def _():
-        dma(jax.lax.rem(nchunks - 2, NBUF), nchunks - 2).start()
+        dma(jax.lax.rem(cut - 2, NBUF), cut - 2).start()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
     def body(step, carry):
         d_carry, lt_end = carry                 # (P,1), (P,1)
-        j = nchunks - 1 - step
+        j = cut - 1 - step
         slot = jax.lax.rem(j, NBUF)
         dma(slot, j).wait()
 
@@ -385,7 +448,7 @@ def _bwd_kernel(start_ref, end_ref, padbase_ref, feat_hbm,
 
         @pl.when(step >= NWBUF)
         def _():
-            wdma(wslot, nchunks - 1 - (step - NWBUF)).wait()
+            wdma(wslot, cut - 1 - (step - NWBUF)).wait()
 
         gvm[wslot, 0:1] = d_cx
         gvm[wslot, 1:2] = d_cy
@@ -410,15 +473,46 @@ def _bwd_kernel(start_ref, end_ref, padbase_ref, feat_hbm,
         return d_new, lt_new
 
     (d_f, lt_f) = jax.lax.fori_loop(
-        0, nchunks, body, (glt, lt_n))
+        0, cut, body, (glt, lt_n))
     del d_f, lt_f
 
-    # drain outstanding gradient writes: the last min(NWBUF, nchunks)
-    # steps are unwaited; step s wrote window j = nchunks - 1 - s
+    # drain outstanding gradient writes: the last min(NWBUF, cut)
+    # steps are unwaited; step s wrote window j = cut - 1 - s
     for k in range(NWBUF):
-        @pl.when(nchunks > k)
+        @pl.when(cut > k)
         def _(k=k):
-            wdma(jax.lax.rem(nchunks - 1 - k, NWBUF), k).wait()
+            wdma(jax.lax.rem(cut - 1 - k, NWBUF), k).wait()
+
+    # zero-fill the cut windows [cut, nchunks): their gradients are
+    # bit-exact zeros, but the k_global row must still mark which slots
+    # are real pairs — the scatter's segment offsets count EVERY
+    # retained pair, so absent slots would shift every later gaussian's
+    # segment boundary.  Pure write bandwidth: no feature reads, no
+    # alpha math (~8 KB/window vs the full VPU+MXU body).
+    zeros_sem = jnp.zeros((GRAD_KG, chunk), jnp.float32)
+    zeros_pad = jnp.zeros((GRAD_ROWS - GRAD_KG - 1, chunk), jnp.float32)
+
+    def zbody(j, _):
+        zslot = jax.lax.rem(j - cut, NWBUF)
+
+        @pl.when(j - cut >= NWBUF)
+        def _():
+            wdma(zslot, j - NWBUF).wait()
+
+        gvm[zslot, 0:GRAD_KG] = zeros_sem
+        k_g = base + j * chunk + lane
+        gvm[zslot, GRAD_KG:GRAD_KG + 1] = jnp.where(
+            (k_g >= s) & (k_g < e), k_g.astype(jnp.float32), -1.0)
+        gvm[zslot, GRAD_KG + 1:GRAD_ROWS] = zeros_pad
+        wdma(zslot, j).start()
+        return 0
+
+    jax.lax.fori_loop(cut, nchunks, zbody, 0)
+    for k in range(NWBUF):
+        @pl.when(nchunks - cut > k)
+        def _(k=k):
+            wdma(jax.lax.rem(nchunks - 1 - k - cut, NWBUF),
+                 nchunks - 1 - k).wait()
 
 
 # --------------------------------------------------------------------------
@@ -488,13 +582,14 @@ def _fwd_raster(bins, h, w, config, interpret):
         color_precision=(jax.lax.Precision.HIGHEST
                          if config.exact_color_accum
                          else jax.lax.Precision.DEFAULT),
-        skip_bbox=not math.isfinite(config.sigma_cutoff))
+        skip_bbox=not math.isfinite(config.sigma_cutoff),
+        sat_cut_log=float(SAT_CUT_LOG))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((4, 1, bs0, bs1), lambda t, *_: (0, t, 0, 0),
+        out_specs=pl.BlockSpec((5, 1, bs0, bs1), lambda t, *_: (0, t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((NBUF, FEATURE_DIM, chunk), jnp.int32),
@@ -506,17 +601,20 @@ def _fwd_raster(bins, h, w, config, interpret):
 
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((4, num_tiles, bs0, bs1),
+        out_shape=jax.ShapeDtypeStruct((5, num_tiles, bs0, bs1),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(bins.tile_start, bins.tile_end, bins.features)
 
-    img = out.reshape(4, nty, ntx, th, tw)
+    cut = out[4, :, 0, 0].astype(jnp.int32)
+    img = out[:4].reshape(4, nty, ntx, th, tw)
     img = img.transpose(1, 3, 2, 4, 0).reshape(nty * th, ntx * tw, 4)
     img = img[:h, :w]
-    return img[..., :3], img[..., 3]          # raw C, logT
+    # raw C, logT, per-tile saturation-cut window count (the backward
+    # walks only these windows; later ones hold exact-zero gradients)
+    return img[..., :3], img[..., 3], cut
 
 
 def _tile_planes(arr, h, w, th, tw, nty, ntx):
@@ -531,9 +629,13 @@ def _tile_planes(arr, h, w, th, tw, nty, ntx):
     return a.reshape(c, nty * ntx, th * tw, 1)
 
 
-def _bwd_raster(bins, g_c, g_lt, lt, h, w, config, interpret):
+def _bwd_raster(bins, g_c, g_lt, lt, cut, h, w, config, interpret):
     """Run the backward kernel; returns (9, KP2) per-pair grads, the
-    padded-slot -> pair-slot base table, and window counts."""
+    padded-slot -> pair-slot base table, and window counts.
+
+    ``cut``: (num_tiles,) int32 per-tile saturation-cut window counts
+    from the forward (_fwd_raster's third output) — the reverse walk
+    computes only these windows and zero-fills the rest."""
     tw, th = config.tile_w, config.tile_h
     bs0, bs1 = config.block_shape
     ntx, nty = bins.tiles_x, bins.tiles_y
@@ -561,7 +663,7 @@ def _bwd_raster(bins, g_c, g_lt, lt, h, w, config, interpret):
         skip_bbox=not math.isfinite(config.sigma_cutoff))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                   # features
@@ -592,6 +694,7 @@ def _bwd_raster(bins, g_c, g_lt, lt, h, w, config, interpret):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(bins.tile_start, bins.tile_end, pad_base[:-1],
+      jnp.minimum(cut.astype(jnp.int32), nch_t),
       bins.features, g_tiles, glt_tiles, lt_tiles)
 
     return grads, pad_base, base_t
@@ -738,8 +841,8 @@ def _rebuild_proj(fields, aux):
 def _core_proj_impl(fields, aux, h, w, config, interpret):
     proj = _rebuild_proj(fields, aux)
     bins = build_tile_bins(proj, h, w, config, interpret=interpret)
-    c_raw, lt = _fwd_raster(bins, h, w, config, interpret)
-    return c_raw, lt, bins
+    c_raw, lt, cut = _fwd_raster(bins, h, w, config, interpret)
+    return c_raw, lt, bins, cut
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -761,25 +864,26 @@ def _core_proj(fields, aux, h, w, config, interpret):
     ``aux`` = (depth, radius_px, visible-as-f32) — zero cotangent (the
     binning machinery: orderings, spans, indicators).
     """
-    c_raw, lt, _ = _core_proj_impl(fields, aux, h, w, config, interpret)
+    c_raw, lt, _, _ = _core_proj_impl(fields, aux, h, w, config,
+                                      interpret)
     return c_raw, lt
 
 
 def _core_proj_fwd(fields, aux, h, w, config, interpret):
-    c_raw, lt, bins = _core_proj_impl(fields, aux, h, w, config,
-                                      interpret)
-    return (c_raw, lt), (fields, aux, bins, lt)
+    c_raw, lt, bins, cut = _core_proj_impl(fields, aux, h, w, config,
+                                           interpret)
+    return (c_raw, lt), (fields, aux, bins, lt, cut)
 
 
 def _core_proj_bwd(h, w, config, interpret, res, cts):
-    fields, aux, bins, lt = res
+    fields, aux, bins, lt, cut = res
     center, conic, color, opacity = fields
     g_c, g_lt = cts
     n = center.shape[0]
     chunk = config.chunk
 
     grads, pad_base, base_t = _bwd_raster(
-        bins, g_c, g_lt, lt, h, w, config, interpret)
+        bins, g_c, g_lt, lt, cut, h, w, config, interpret)
     if bins.ranks.shape[0] >= (1 << 24):
         # f32 k_global row loses integer exactness at 2^24 slots
         per_g = _scatter_pair_grads_xla(grads, pad_base, base_t, bins, n,

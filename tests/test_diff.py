@@ -200,9 +200,9 @@ class TestScatterImpls:
                           .astype(np.float32))
         g_lt = jnp.asarray(rng.normal(size=(cam.h, cam.w))
                            .astype(np.float32))
-        _, lt = D._fwd_raster(bins, cam.h, cam.w, cfg, True)
+        _, lt, cut = D._fwd_raster(bins, cam.h, cam.w, cfg, True)
         grads, pad_base, base_t = D._bwd_raster(
-            bins, g_c, g_lt, lt, cam.h, cam.w, cfg, True)
+            bins, g_c, g_lt, lt, cut, cam.h, cam.w, cfg, True)
         return D, scene, cfg, proj, bins, grads, pad_base, base_t
 
     def _compare(self, n, seed, dup):
@@ -242,6 +242,78 @@ class TestScatterImpls:
         assert np.all(written[valid] == np.round(written[valid]))
         assert written[valid].max() < bins.ranks.shape[0]
         assert np.all(written[~valid] == -1.0)
+
+
+class TestSaturationCut:
+    """The exact saturation cut (diff.SAT_CUT_LOG): once every pixel of
+    a tile is below the f32 exp-underflow threshold, the forward
+    early-exits and the backward skips those windows — skipped pairs'
+    gradients are IEEE-exact zeros, the forward image is bit-identical
+    to the uncut walk, and pre-cut gradients only move within the logT
+    reconstruction's own f32 rounding (the anchor changes from
+    final-minus-suffix to the forward's running sum at the cut)."""
+
+    def _deep_scene(self, n=8000):
+        scene = random_scene(n, seed=2, extent=6.0,
+                             scale_range=(0.4, 0.8))
+        scene = dataclasses.replace(
+            scene, opacities=np.full((n,), 0.999, np.float32))
+        return jax.tree.map(jnp.asarray, scene)
+
+    def test_cut_engages_and_matches_uncut(self):
+        from splat_tpu.render import diff as D
+
+        scene = self._deep_scene()
+        cam = Camera.create(h=64, w=96, position=(0.0, 0.0, 4.0))
+        cfg = RenderConfig(max_dup_factor=24.0, alpha_channel=True)
+        proj = project_gaussians(scene, cam, cfg)
+        bins = build_tile_bins(proj, cam.h, cam.w, cfg, interpret=True)
+        _, _, cut = D._fwd_raster(bins, cam.h, cam.w, cfg, True)
+        base = (np.asarray(bins.tile_start) // 128) * 128
+        nch = np.maximum(
+            (np.asarray(bins.tile_end) - base + cfg.chunk - 1)
+            // cfg.chunk, 0)
+        cut = np.asarray(cut)
+        assert (cut < nch).any(), "fixture failed to engage the cut"
+        assert (cut <= nch).all()
+
+        tgt = jnp.full((64, 96, 4), 0.3)
+        loss = lambda s: jnp.mean(
+            (render_tiled_diff(s, cam, cfg) - tgt) ** 2)
+        img_cut = np.asarray(render_tiled_diff(scene, cam, cfg))
+        g_cut = jax.grad(loss)(scene)
+        orig = D.SAT_CUT_LOG
+        try:
+            D.SAT_CUT_LOG = float("-inf")   # disable the cut
+            img_full = np.asarray(render_tiled_diff(scene, cam, cfg))
+            g_full = jax.grad(loss)(scene)
+        finally:
+            D.SAT_CUT_LOG = orig
+        # forward: bit-identical (skipped contributions are exact zeros)
+        np.testing.assert_array_equal(img_cut, img_full)
+        # gradients: within logT-reconstruction rounding of the uncut
+        # walk (same noise scale as the backend-vs-interpret comparison)
+        for name in ["means", "quats", "scales", "opacities", "sh"]:
+            a = np.asarray(getattr(g_cut, name))
+            b = np.asarray(getattr(g_full, name))
+            scale = np.abs(b).max() + 1e-20
+            assert np.abs(a - b).max() / scale < 1e-5, \
+                f"{name}: rel {np.abs(a - b).max() / scale:.2e}"
+
+    def test_light_scene_cut_never_fires(self):
+        from splat_tpu.render import diff as D
+
+        scene = _jscene(300, 1)
+        cam = Camera.create(h=64, w=96, position=(0.0, 0.0, 4.0))
+        cfg = RenderConfig(max_dup_factor=8.0)
+        proj = project_gaussians(scene, cam, cfg)
+        bins = build_tile_bins(proj, cam.h, cam.w, cfg, interpret=True)
+        _, _, cut = D._fwd_raster(bins, cam.h, cam.w, cfg, True)
+        base = (np.asarray(bins.tile_start) // 128) * 128
+        nch = np.maximum(
+            (np.asarray(bins.tile_end) - base + cfg.chunk - 1)
+            // cfg.chunk, 0)
+        np.testing.assert_array_equal(np.asarray(cut), nch)
 
 
 class TestDenseAgreement:
