@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--h", type=int, default=300)
     ap.add_argument("--w", type=int, default=400)
     ap.add_argument("--gate", type=float, default=0.999)
+    ap.add_argument("--sat-exit", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -41,7 +42,8 @@ def main():
     enable_persistent_cache()
     scene = jax.tree.map(jnp.asarray, st.surface_scene(args.n, seed=11))
     cam = st.Camera.create(h=args.h, w=args.w, position=(0.0, -1.0, 3.5))
-    config = RenderConfig(max_dup_factor=3.0)
+    config = RenderConfig(max_dup_factor=3.0,
+                          train_sat_exit=args.sat_exit)
 
     def loss(s, interp):
         img = render_tiled_diff(s, cam, config, interpret=interp)

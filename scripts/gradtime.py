@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--tile", type=int, default=32)
     ap.add_argument("--scene", choices=["random", "surface"],
                     default="surface")
+    ap.add_argument("--sat-exit", action="store_true",
+                    help="config.train_sat_exit=True (INRIA-style exit)")
     ap.add_argument("--stage",
                     choices=["fwd", "loss", "grad", "step", "fwdraster",
                              "rasterbwd", "scatter", "projvjp"],
@@ -69,7 +71,8 @@ def main():
     raw = jax.device_put(RawParams.from_scene(scene))
     cam = st.Camera.create(h=args.h, w=args.w, position=(0.0, 0.0, 4.0))
     config = RenderConfig(tile_px=args.tile, chunk=args.chunk,
-                          max_dup_factor=args.dup)
+                          max_dup_factor=args.dup,
+                          train_sat_exit=args.sat_exit)
     interpret = jax.default_backend() == "cpu"
 
     def fwd_val(r, c):

@@ -58,6 +58,19 @@ class RenderConfig:
     lowpass: float = 0.3
     alpha_clamp: float = 0.99
     alpha_min: float = 1.0 / 255.0
+    # Training-path (render_tiled_diff) saturation exit at the INFERENCE
+    # threshold: once every pixel of a tile has transmittance < alpha_min
+    # the forward walk stops and the backward walks only the composited
+    # prefix.  This is the original 3DGS semantics (the reference CUDA
+    # forward stops at T < 1e-4 and its backward starts from the last
+    # contributor), and the custom VJP stays EXACT for the truncated
+    # function it actually computes — the approximation is only vs the
+    # full walk, bounded by the < alpha_min residual transmittance.
+    # Default off: the default diff forward composites every pair and
+    # cuts only at the f32-exact exp-underflow point (diff.SAT_CUT_LOG).
+    # Measured at 1M@1080p surface dup 2.2: 17.7% of walked pair-slots
+    # sit behind the alpha_min exit (scripts/satcut_probe.py).
+    train_sat_exit: bool = False
     tile_px: int = 32
     # Tile height in pixels; 0 means square tiles (= tile_px).  Rectangular
     # tiles trade pair count against per-pair pixel work: a splat's tile

@@ -39,6 +39,16 @@ Design (the TPU formulation of the INRIA backward recurrences):
   multiplicative carry (factors > 0.5 per window hold the product at
   2^-149 forever) can keep contributing denormal-sized bits to the
   image long after the true T underflows.
+* **Optional INRIA-style exit** (`config.train_sat_exit`): the same cut
+  machinery with the INFERENCE threshold (every pixel's T < alpha_min)
+  instead of the exp-underflow one.  This reproduces the original 3DGS
+  training semantics (the reference CUDA forward stops at T < 1e-4 and
+  its backward walks only up to the last contributor): the custom VJP
+  remains EXACT for the truncated composite it actually computes, and
+  the truncation error vs the full walk is bounded by the residual
+  transmittance (< alpha_min) — while skipping the heavy-overdraw tail
+  entirely (17.7% of walked pair-slots at 1M@1080p surface dup 2.2,
+  concentrated in the 2% most-overdrawn tiles; scripts/satcut_probe.py).
 * **Finalize in plain JAX**: img = clip(C + exp(logT)·bg) (+ coverage
   channel) sits OUTSIDE the custom_vjp, so XLA autodiff handles the
   clip/background/alpha-channel/supersample chain for free and the
@@ -126,6 +136,12 @@ GRAD_ROWS = 16
 # is not an approximation.  Tests may monkeypatch to -inf to disable.
 SAT_CUT_LOG = -105.0
 
+# Check saturation once per this many windows in the forward walk (the
+# check itself costs ~0.18 us/window; grouping amortizes it — see
+# _fwd_kernel).  The cut index stays exact; only its granularity (and
+# therefore how much work the cut can skip) quantizes to this.
+SAT_CHECK_EVERY = 4
+
 
 def _window_decode(f, skip_bbox: bool):
     """Packed feature rows -> per-window rows (render/kernels.py decode)."""
@@ -189,7 +205,7 @@ def _fwd_kernel(start_ref, end_ref, feat_hbm, out_ref,
                 feat_vmem, sem, img_ref, tr_ref, ltr_ref,
                 *, chunk, tile_w, tile_h, tiles_x, bs0, bs1,
                 alpha_clamp, alpha_min, color_precision, skip_bbox,
-                sat_cut_log):
+                sat_cut_log, sat_exit):
     t = pl.program_id(0)
     s = start_ref[t]
     e = end_ref[t]
@@ -226,8 +242,7 @@ def _fwd_kernel(start_ref, end_ref, feat_hbm, out_ref,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
-    def body(carry):
-        j, _ = carry
+    def window(j):
         slot = jax.lax.rem(j, NBUF)
         dma(slot, j).wait()
 
@@ -258,22 +273,58 @@ def _fwd_kernel(start_ref, end_ref, feat_hbm, out_ref,
         img_ref[...] = img_ref[...] + transmit * contrib
         # carry BOTH multiplicative T (weights; bit-parity with inference)
         # and additive logT (the backward's anchor)
-        tr_new = transmit * jnp.exp(lt_chunk)
-        ltr_new = ltr_ref[...] + lt_chunk
-        tr_ref[...] = tr_new
-        ltr_ref[...] = ltr_new
+        tr_ref[...] = transmit * jnp.exp(lt_chunk)
+        ltr_ref[...] = ltr_ref[...] + lt_chunk
+
+    def sat_now():
+        if sat_exit:
+            # INRIA-style exit at the INFERENCE threshold
+            # (config.train_sat_exit): the walk stops where the light
+            # path's whole-tile exit would, the backward walks only the
+            # composited prefix, and the custom VJP stays exact for the
+            # truncated function actually computed.
+            return jnp.max(tr_ref[...]) < alpha_min
         # exact saturation: every later contribution AND gradient is an
         # IEEE-exact zero (module docstring) — both conditions required
-        saturated = ((jnp.max(ltr_new) < sat_cut_log)
-                     & (jnp.max(tr_new) == 0.0))
-        return j + 1, saturated
+        return ((jnp.max(ltr_ref[...]) < sat_cut_log)
+                & (jnp.max(tr_ref[...]) == 0.0))
 
-    def cond(carry):
+    # Bulk walk in groups of SAT_CHECK_EVERY windows with ONE saturation
+    # check per group: the per-window check (two (P,1) reductions + the
+    # while-loop condition) measures ~0.18 us/window — ~3 ms/frame at
+    # the 1M@1080p operating point — so it is amortized 4x here.  Exit
+    # granularity coarsens by <= G-1 windows, which only shrinks the
+    # saved work slightly (the skipped windows are exact zeros either
+    # way, so correctness is untouched).
+    n_full = nchunks // SAT_CHECK_EVERY
+
+    def gbody(carry):
+        g_i, _ = carry
+        j0 = g_i * SAT_CHECK_EVERY
+        for i in range(SAT_CHECK_EVERY):
+            window(j0 + i)
+        return g_i + 1, sat_now()
+
+    def gcond(carry):
+        g_i, saturated = carry
+        return (g_i < n_full) & jnp.logical_not(saturated)
+
+    g_end, sat = jax.lax.while_loop(gcond, gbody,
+                                    (jnp.int32(0), jnp.bool_(False)))
+
+    # Tail (< SAT_CHECK_EVERY windows; also the no-op path when the
+    # group loop exited saturated — the carried flag stops it at entry).
+    def tbody(carry):
+        j, _ = carry
+        window(j)
+        return j + 1, sat_now()
+
+    def tcond(carry):
         j, saturated = carry
         return (j < nchunks) & jnp.logical_not(saturated)
 
-    j_end, _ = jax.lax.while_loop(cond, body,
-                                  (jnp.int32(0), jnp.bool_(False)))
+    j_end, _ = jax.lax.while_loop(
+        tcond, tbody, (g_end * SAT_CHECK_EVERY, sat))
 
     # drain in-flight fetches on early exit (body j issues j + 2)
     @pl.when(j_end < nchunks)
@@ -583,7 +634,8 @@ def _fwd_raster(bins, h, w, config, interpret):
                          if config.exact_color_accum
                          else jax.lax.Precision.DEFAULT),
         skip_bbox=not math.isfinite(config.sigma_cutoff),
-        sat_cut_log=float(SAT_CUT_LOG))
+        sat_cut_log=float(SAT_CUT_LOG),
+        sat_exit=bool(config.train_sat_exit))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -300,6 +300,51 @@ class TestSaturationCut:
             assert np.abs(a - b).max() / scale < 1e-5, \
                 f"{name}: rel {np.abs(a - b).max() / scale:.2e}"
 
+    def test_train_sat_exit_truncates_and_bounds_error(self):
+        """config.train_sat_exit: the INRIA-style exit engages where the
+        exact cut cannot (T < alpha_min but far from f32 underflow), the
+        truncation error vs the full walk is bounded by the residual
+        transmittance, and gradients stay directionally faithful."""
+        from splat_tpu.render import diff as D
+
+        n = 2000
+        scene = random_scene(n, seed=5, extent=6.0,
+                             scale_range=(0.3, 0.6))
+        scene = dataclasses.replace(
+            scene, opacities=np.full((n,), 0.9, np.float32))
+        scene = jax.tree.map(jnp.asarray, scene)
+        cam = Camera.create(h=64, w=96, position=(0.0, 0.0, 4.0))
+        cfg_full = RenderConfig(max_dup_factor=24.0)
+        cfg_exit = dataclasses.replace(cfg_full, train_sat_exit=True)
+
+        proj = project_gaussians(scene, cam, cfg_exit)
+        bins = build_tile_bins(proj, cam.h, cam.w, cfg_exit,
+                               interpret=True)
+        _, _, cut_x = D._fwd_raster(bins, cam.h, cam.w, cfg_exit, True)
+        _, _, cut_f = D._fwd_raster(bins, cam.h, cam.w, cfg_full, True)
+        cut_x, cut_f = np.asarray(cut_x), np.asarray(cut_f)
+        assert (cut_x < cut_f).any(), \
+            "approx exit should cut earlier than the exact one"
+
+        tgt = jnp.full((cam.h, cam.w, 3), 0.3)
+        loss_x = lambda s: jnp.mean(
+            (render_tiled_diff(s, cam, cfg_exit) - tgt) ** 2)
+        loss_f = lambda s: jnp.mean(
+            (render_tiled_diff(s, cam, cfg_full) - tgt) ** 2)
+        img_x = np.asarray(render_tiled_diff(scene, cam, cfg_exit))
+        img_f = np.asarray(render_tiled_diff(scene, cam, cfg_full))
+        # truncated tail carries < alpha_min transmittance; a few
+        # epsilons of slack for the compositing chain
+        assert np.abs(img_x - img_f).max() <= 4.0 * cfg_full.alpha_min, \
+            np.abs(img_x - img_f).max()
+        g_x = jax.grad(loss_x)(scene)
+        g_f = jax.grad(loss_f)(scene)
+        for name in ["means", "scales", "opacities", "sh"]:
+            a = np.asarray(getattr(g_x, name)).ravel()
+            b = np.asarray(getattr(g_f, name)).ravel()
+            cos = float(a @ b / np.sqrt((a @ a) * (b @ b) + 1e-30))
+            assert cos >= 0.99, f"{name}: cos {cos:.4f}"
+
     def test_light_scene_cut_never_fires(self):
         from splat_tpu.render import diff as D
 
