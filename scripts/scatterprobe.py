@@ -2,7 +2,8 @@
 the largest single component of the training step after round 5's
 saturation cut) into its pieces:
 
-  ranks    valid mask + 1-row take through bins.ranks (gidx)
+  ranks    valid mask + gaussian-id cast (the id rides the
+           grads buffer from the kernel — no bins.ranks take)
   sort     + the 3-operand unstable sort by gaussian id
   gather   + the 8-row value take at the sort order
   cumsum   + both compensated cumsum passes (c0, residual, c1)
@@ -87,8 +88,10 @@ def main():
         p_ids = jnp.arange(kp2, dtype=jnp.int32)
         kg = gr[GRAD_KG]
         valid = (p_ids < pad_base[-1]) & (kg >= 0.0)
-        k_global = jnp.clip(kg, 0.0, float(k_cap - 1)).astype(jnp.int32)
-        gidx = jnp.where(valid, jnp.take(bins.ranks, k_global), n)
+        # round 5: the kernel's GRAD_KG row IS the gaussian id (it rides
+        # the feature table) — the former take(bins.ranks, k_global)
+        # K-gather is gone (it measured 25.6 ms here at ~10 ns/index)
+        gidx = jnp.where(valid, kg.astype(jnp.int32), n)
         if piece == "ranks":
             return jnp.sum(gidx).astype(jnp.float32)
         row8 = jnp.where(valid, gr[GRAD_SEM - 1], 0.0)

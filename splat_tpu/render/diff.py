@@ -117,16 +117,23 @@ from splat_tpu.render.binning import FEATURE_DIM, _R15_MAX, build_tile_bins
 NBUF = 4          # read-DMA slots (2-window lookahead)
 NWBUF = 2         # write-DMA slots (backward gradient windows)
 # Per-pair gradient rows 0-8: [dcx, dcy, da2, db2, dc2, dcr, dcg, dcb,
-# dop]; row 9 carries each slot's sorted-pair index k_global as an f32
-# VALUE (exact below 2^24; -1 marks window-padding slots), which the
-# scatter stage reads instead of reconstructing the padded-slot -> pair
-# map on the host (a searchsorted + 4 table gathers at K scale — 294 ms
-# measured; the kernel knows k_global for free).  Padded to 16 rows
-# because Mosaic DMA slices need 8-aligned sublane counts (CLAUDE.md
-# rule 12) — the zero rows cost ~0.1 ms of write bandwidth at K~2.6M.
+# dop]; row 9 carries each slot's GAUSSIAN ID as an f32 VALUE (exact
+# below N = 2^24; -1 marks window-padding slots).  The id reaches the
+# kernel as feature-table row 8 (bins.ranks IS the binning sort's
+# payload — no gather needed to build it), which lets the scatter stage
+# sort by gaussian directly instead of paying a 1-row K-gather through
+# bins.ranks at padded-slot scale (~10 ns/index floor in every XLA
+# formulation — 25.6 ms at 1M@1080p, the largest single piece of the
+# scatter; scripts/scatterprobe.py + the ranks-gather variant probe).
+# Padded to 16 rows because Mosaic DMA slices need 8-aligned sublane
+# counts (CLAUDE.md rule 12) — the zero rows cost ~0.1 ms of write
+# bandwidth at K~2.6M.
 GRAD_SEM = 9
 GRAD_KG = 9
 GRAD_ROWS = 16
+# Backward-kernel feature table: binning's 8 packed rows + the gaussian
+# id (row 8) + zero padding to the 8-aligned DMA row count.
+BWD_FEAT_ROWS = 16
 
 # The exact-saturation threshold: exp(x) == +0.0 in f32 for every
 # x < ln(2^-150) ~ -103.97; -105 leaves margin.  Pairs behind a window
@@ -424,7 +431,8 @@ def _bwd_kernel(start_ref, end_ref, padbase_ref, cut_ref, feat_hbm,
         def _():
             dma(jax.lax.rem(j - 2, NBUF), j - 2).start()
 
-        w = _window_decode(feat_vmem[slot], skip_bbox)
+        f_all = feat_vmem[slot]
+        w = _window_decode(f_all, skip_bbox)
         k_global = base + j * chunk + lane
         op = jnp.where((k_global >= s) & (k_global < e), w["op_raw"], 0.0)
         alpha, expp, keep, unclamped, dx, dy, dx2, dy2, dxdy = \
@@ -508,11 +516,12 @@ def _bwd_kernel(start_ref, end_ref, padbase_ref, cut_ref, feat_hbm,
         gvm[wslot, 4:5] = r_dy2
         gvm[wslot, 5:8] = d_col
         gvm[wslot, 8:9] = r_dop
-        # k_global as an exact f32 integer (< 2^24 guaranteed by the
-        # host-side fallback guard); -1 flags window-padding slots
+        # the pair's gaussian id (feature row 8) as an exact f32 integer
+        # (N < 2^24 guaranteed by the host-side fallback guard); -1
+        # flags window-padding slots
+        gid_f = f_all[FEATURE_DIM:FEATURE_DIM + 1, :].astype(jnp.float32)
         gvm[wslot, GRAD_KG:GRAD_KG + 1] = jnp.where(
-            (k_global >= s) & (k_global < e),
-            k_global.astype(jnp.float32), -1.0)
+            (k_global >= s) & (k_global < e), gid_f, -1.0)
         for z in range(GRAD_KG + 1, GRAD_ROWS):
             gvm[wslot, z:z + 1] = jnp.zeros((1, chunk), jnp.float32)
         wdma(wslot, j).start()
@@ -535,15 +544,33 @@ def _bwd_kernel(start_ref, end_ref, padbase_ref, cut_ref, feat_hbm,
             wdma(jax.lax.rem(cut - 1 - k, NWBUF), k).wait()
 
     # zero-fill the cut windows [cut, nchunks): their gradients are
-    # bit-exact zeros, but the k_global row must still mark which slots
-    # are real pairs — the scatter's segment offsets count EVERY
-    # retained pair, so absent slots would shift every later gaussian's
-    # segment boundary.  Pure write bandwidth: no feature reads, no
-    # alpha math (~8 KB/window vs the full VPU+MXU body).
+    # zeros, but the gaussian-id row must still mark which slots are
+    # real pairs — the scatter's segment offsets count EVERY retained
+    # pair, so absent slots would shift every later gaussian's segment
+    # boundary.  The id lives in feature row 8, so each skipped window
+    # costs one (16, chunk) read + one (16, chunk) write and no alpha
+    # math (2-deep read pipeline; the main reverse walk has drained all
+    # its read slots by construction — every started window is waited
+    # by its own body).
     zeros_sem = jnp.zeros((GRAD_KG, chunk), jnp.float32)
     zeros_pad = jnp.zeros((GRAD_ROWS - GRAD_KG - 1, chunk), jnp.float32)
 
+    @pl.when(cut < nchunks)
+    def _():
+        dma(jax.lax.rem(cut, NBUF), cut).start()
+
+    @pl.when(cut + 1 < nchunks)
+    def _():
+        dma(jax.lax.rem(cut + 1, NBUF), cut + 1).start()
+
     def zbody(j, _):
+        rslot = jax.lax.rem(j, NBUF)
+        dma(rslot, j).wait()
+
+        @pl.when(j + 2 < nchunks)
+        def _():
+            dma(jax.lax.rem(j + 2, NBUF), j + 2).start()
+
         zslot = jax.lax.rem(j - cut, NWBUF)
 
         @pl.when(j - cut >= NWBUF)
@@ -552,8 +579,10 @@ def _bwd_kernel(start_ref, end_ref, padbase_ref, cut_ref, feat_hbm,
 
         gvm[zslot, 0:GRAD_KG] = zeros_sem
         k_g = base + j * chunk + lane
+        gid_f = feat_vmem[rslot][FEATURE_DIM:FEATURE_DIM + 1, :].astype(
+            jnp.float32)
         gvm[zslot, GRAD_KG:GRAD_KG + 1] = jnp.where(
-            (k_g >= s) & (k_g < e), k_g.astype(jnp.float32), -1.0)
+            (k_g >= s) & (k_g < e), gid_f, -1.0)
         gvm[zslot, GRAD_KG + 1:GRAD_ROWS] = zeros_pad
         wdma(zslot, j).start()
         return 0
@@ -732,11 +761,26 @@ def _bwd_raster(bins, g_c, g_lt, lt, cut, h, w, config, interpret):
                          memory_space=pltpu.VMEM),               # dummy
         ],
         scratch_shapes=[
-            pltpu.VMEM((NBUF, FEATURE_DIM, chunk), jnp.int32),
+            pltpu.VMEM((NBUF, BWD_FEAT_ROWS, chunk), jnp.int32),
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.VMEM((NWBUF, GRAD_ROWS, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((NWBUF,)),
         ])
+
+    # The gaussian id rides the feature table (row 8): bins.ranks IS the
+    # binning sort's payload — no gather builds this row — and the
+    # kernel emits it per pair, replacing the scatter stage's 1-row
+    # K-gather through bins.ranks (10 ns/index floor in every XLA
+    # lowering; 25.6 ms at 1M@1080p — scatterprobe + variant probe) with
+    # feature-DMA bandwidth the window fetch already pays.  Rows pad to
+    # 16 for Mosaic's 8-aligned DMA sublane rule.
+    kpf = bins.features.shape[1]
+    gid_row = jnp.concatenate(
+        [bins.ranks,
+         jnp.zeros((kpf - bins.ranks.shape[0],), jnp.int32)])[None, :]
+    feats16 = jnp.concatenate(
+        [bins.features, gid_row,
+         jnp.zeros((BWD_FEAT_ROWS - FEATURE_DIM - 1, kpf), jnp.int32)])
 
     grads, _ = pl.pallas_call(
         kernel, grid_spec=grid_spec,
@@ -747,15 +791,17 @@ def _bwd_raster(bins, g_c, g_lt, lt, cut, h, w, config, interpret):
         interpret=interpret,
     )(bins.tile_start, bins.tile_end, pad_base[:-1],
       jnp.minimum(cut.astype(jnp.int32), nch_t),
-      bins.features, g_tiles, glt_tiles, lt_tiles)
+      feats16, g_tiles, glt_tiles, lt_tiles)
 
     return grads, pad_base, base_t
 
 
 def _scatter_pair_grads_xla(grads, pad_base, base_t, bins, n, chunk):
     """(9, KP2) window-padded pair grads -> (9, N) per-gaussian grads via
-    an XLA scatter-add.  The fallback path for k_cap >= 2^24 (where the
-    kernel's f32 k_global row would lose integer exactness); on the
+    an XLA scatter-add.  The fallback path for n >= 2^24 (where the
+    kernel's f32 gaussian-id row would lose integer exactness; it
+    reconstructs ids from pad_base/base_t + bins.ranks itself, so it
+    never reads the GRAD_KG row); on the
     measured 1M@1080p operating point it costs ~480 ms/step — the
     searchsorted padded-slot -> tile map alone is 294 ms and the
     unsorted scatter-add runs at ~87 ns/index vs the ~5 ns gather floor
@@ -831,9 +877,12 @@ def _scatter_pair_grads(grads, pad_base, base_t, bins, proj, n, config):
     ns/index serialization + a 294 ms host-side slot map); this path
     runs the same reduction at gather/sort speeds (~70 ms measured):
 
-    1. each slot's pair index k_global comes from the kernel itself
-       (GRAD_KG row — exact f32 integers), giving gaussian ids with one
-       8-row-safe take through bins.ranks;
+    1. each slot's GAUSSIAN ID comes from the kernel itself (GRAD_KG
+       row — exact f32 integers for N < 2^24; the id rides the feature
+       table as row 8, which bins.ranks provides gather-free), so no
+       K-scale table lookup happens here at all (the former 1-row take
+       through bins.ranks ran at a ~10 ns/index floor — 25.6 ms at
+       1M@1080p — in every XLA lowering tried);
     2. ONE unstable sort by gaussian id; the 9th gradient row rides as a
        sort payload (+1.4 ms) so the value gather stays at 8 rows
        (9-row gathers cliff 4.4x);
@@ -853,8 +902,7 @@ def _scatter_pair_grads(grads, pad_base, base_t, bins, proj, n, config):
     # slots past pad_base[-1] were never written (uninitialized HBM):
     # mask by the slot bound first, THEN trust the kernel's -1 flags
     valid = (p_ids < pad_base[-1]) & (kg >= 0.0)
-    k_global = jnp.clip(kg, 0.0, float(k_cap - 1)).astype(jnp.int32)
-    gidx = jnp.where(valid, jnp.take(bins.ranks, k_global), n)
+    gidx = jnp.where(valid, kg.astype(jnp.int32), n)
     row8 = jnp.where(valid, grads[GRAD_SEM - 1], 0.0)
     # unstable: segment sums are order-independent within a segment, and
     # the unstable network is the cheaper one (binning.py's sort agrees)
@@ -936,8 +984,11 @@ def _core_proj_bwd(h, w, config, interpret, res, cts):
 
     grads, pad_base, base_t = _bwd_raster(
         bins, g_c, g_lt, lt, cut, h, w, config, interpret)
-    if bins.ranks.shape[0] >= (1 << 24):
-        # f32 k_global row loses integer exactness at 2^24 slots
+    if n >= (1 << 24):
+        # the f32 gaussian-id row loses integer exactness at N = 2^24
+        # (the sorted path's only precision bound — k_cap no longer
+        # matters since the id rides the feature table, so 6M-gaussian
+        # scenes at k_cap > 16.7M pairs stay on the fast path)
         per_g = _scatter_pair_grads_xla(grads, pad_base, base_t, bins, n,
                                         chunk)
     else:

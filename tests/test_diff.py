@@ -238,10 +238,23 @@ class TestScatterImpls:
         nwritten = int(pad_base[-1])
         written = kg[:nwritten]
         valid = written >= 0
-        # valid slots carry exact integer pair indices within range
+        # valid slots carry exact integer GAUSSIAN ids within range
         assert np.all(written[valid] == np.round(written[valid]))
-        assert written[valid].max() < bins.ranks.shape[0]
+        assert written[valid].max() < 200          # fixture N
         assert np.all(written[~valid] == -1.0)
+        # and they agree with the binning sort's own payload
+        s_t = np.asarray(bins.tile_start)
+        e_t = np.asarray(bins.tile_end)
+        base_t = (s_t // 128) * 128
+        nch = np.maximum(
+            (e_t - base_t + 127) // 128, 0)
+        pb = np.asarray(pad_base)
+        ranks = np.asarray(bins.ranks)
+        for t in range(len(s_t)):
+            for p in range(pb[t], pb[t] + nch[t] * 128):
+                k = base_t[t] + (p - pb[t])
+                if s_t[t] <= k < e_t[t]:
+                    assert written[p] == ranks[k], (t, p, k)
 
 
 class TestSaturationCut:
