@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--densify-every", type=int, default=40)
     ap.add_argument("--grad-threshold", type=float, default=2e-5)
     ap.add_argument("--pad-multiple", type=int, default=16_384)
+    ap.add_argument("--dup-factor", type=float, default=6.0,
+                    help="initial max_dup_factor; the 4k random init "
+                    "needs ~5.2 at 512x384 and fit() auto-raises at "
+                    "segment/densify boundaries from there")
     ap.add_argument("--sh-degree", type=int, default=2)
     ap.add_argument("--out-ply", default="")
     ap.add_argument("--out-json", default=os.path.join(
@@ -76,7 +80,8 @@ def main():
     t_all = time.time()
     truth = jax.tree.map(jnp.asarray, st.surface_scene(args.truth_n,
                                                        seed=SEED))
-    cfg = RenderConfig(sh_degree=args.sh_degree, max_dup_factor=4.0)
+    cfg = RenderConfig(sh_degree=args.sh_degree,
+                       max_dup_factor=args.dup_factor)
 
     base = st.Camera.create(h=args.h, w=args.w, position=(0.0, -1.0, 3.5))
     # training poses sweep yaw; held-out poses sit BETWEEN training yaws
