@@ -102,6 +102,18 @@ class Camera:
         p = _axis_angle_rotate(p, right, pitch)
         return p + self.target
 
+    def sh_eye(self, stale: bool = False) -> jax.Array:
+        """Ray origin for SH color evaluation.
+
+        ``stale=True`` reproduces the reference viewer's stale-eye bug:
+        the Rust pipelines read ``camera.position`` for SH rays
+        (src/pipelines.rs:99) but ``compute_matrices`` rotates a local
+        copy and never writes it back (src/camera.rs:41-68), so its
+        view-dependent color ignores the orbit.  Identity at
+        yaw = pitch = 0.  See PARITY.md.
+        """
+        return jnp.asarray(self.position) if stale else self.eye()
+
     def view_matrix(self) -> jax.Array:
         return look_at(self.eye(), self.target, self.up)
 
@@ -230,6 +242,11 @@ class SE3Camera:
         r = self.view[:3, :3]
         t = self.view[:3, 3]
         return -(r.T @ t)
+
+    def sh_eye(self, stale: bool = False) -> jax.Array:
+        """SH ray origin — an SE3 camera has no orbit state to go
+        stale, so the flag is an identity here (see Camera.sh_eye)."""
+        return self.eye()
 
     def view_matrix(self) -> jax.Array:
         return self.view

@@ -206,6 +206,24 @@ class RenderConfig:
     # cutoff anyway (marginal bound, see ops/projection.py); cuts
     # (gaussian, tile) pair counts for low-opacity splats.
     tight_radius: bool = True
+    # Quirk-reproduction flags (PARITY.md): the reference's two stacks
+    # disagree in places where one side is a plain bug; the defaults
+    # follow the correct behavior and these opt-ins reproduce the buggy
+    # one bit-for-bit for side-by-side comparisons against the reference.
+    #
+    # cov3d_transpose: build Sigma_3D as R^T diag(s^2) R — the notebook
+    # prototype's transposed ordering (notes/00_Gaussian_Projection.ipynb
+    # cell 1 computes M = S·R, Sigma = M^T·M), vs the active Rust
+    # renderer's R diag(s^2) R^T (src/gaussians.rs:111, the default
+    # here).  Implemented as quaternion conjugation: R(q*)=R(q)^T.
+    cov3d_transpose: bool = False
+    # sh_stale_eye: evaluate SH ray directions from the UN-ORBITED base
+    # camera position.  The Rust viewer reads `camera.position` for SH
+    # rays (src/pipelines.rs:99) but `compute_matrices` rotates a local
+    # copy and never writes it back (src/camera.rs:41-68), so its
+    # view-dependent color ignores orbiting.  Identity at yaw=pitch=0
+    # and for SE3 cameras (no orbit state to go stale).
+    sh_stale_eye: bool = False
 
     def __post_init__(self):
         if not (0 <= self.sh_degree <= 3):

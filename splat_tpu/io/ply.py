@@ -152,7 +152,8 @@ def read_ply_arrays(path: str | os.PathLike) -> dict[str, np.ndarray]:
 
 
 def arrays_to_scene(fields: dict[str, np.ndarray], *,
-                    center: bool = True) -> GaussianScene:
+                    center: bool = True,
+                    f_rest_layout: str = "inria") -> GaussianScene:
     """Apply the 3DGS activation pipeline and build a scene (see module doc)."""
     for req in ("x", "y", "z", "opacity"):
         if req not in fields:
@@ -183,8 +184,22 @@ def arrays_to_scene(fields: dict[str, np.ndarray], *,
             raise PlyError(f"f_rest count {num_rest} not divisible by 3")
         rest = np.stack([fields[k] for k in rest_names], axis=1)  # (N, 3*K)
         k = num_rest // 3
-        # channel-major in file -> coefficient-major (notes/util_gau.py:82-84)
-        rest = rest.reshape(n, 3, k).transpose(0, 2, 1)           # (N, K, 3)
+        if f_rest_layout == "inria":
+            # channel-major in file -> coefficient-major
+            # (notes/util_gau.py:82-84) — the layout both SH evaluators
+            # assume.  Default.
+            rest = rest.reshape(n, 3, k).transpose(0, 2, 1)       # (N, K, 3)
+        elif f_rest_layout == "raw":
+            # Quirk reproduction (PARITY.md): the Rust loader stores
+            # f_rest verbatim (sh[3+i] = f_rest_i,
+            # src/gaussians.rs:276-279), mis-interleaving bands >= 1 —
+            # flat slots 3..47 filled channel-major, read back as if
+            # coefficient-major.
+            rest = rest.reshape(n, k, 3)                          # (N, K, 3)
+        else:
+            raise PlyError(
+                f"f_rest_layout must be 'inria' or 'raw', "
+                f"got {f_rest_layout!r}")
     else:
         rest = np.zeros((n, 15, 3), np.float32)
     sh = np.concatenate([dc[:, None, :], rest], axis=1)           # (N, 1+K, 3)
@@ -196,16 +211,24 @@ def arrays_to_scene(fields: dict[str, np.ndarray], *,
 
 
 def load_ply(path: str | os.PathLike, *, center: bool = True,
-             native: bool | None = None) -> GaussianScene:
+             native: bool | None = None,
+             f_rest_layout: str = "inria") -> GaussianScene:
     """Load a pretrained 3DGS .ply into an activated SoA scene.
 
     native: use the multithreaded C++ fast path (splat_tpu.native) when the
       file has the standard all-float32 binary-LE schema.  None = auto (on,
       falling back to the NumPy path for non-standard files or when no
       compiler is available); the SPLAT_TPU_NO_NATIVE env var disables it.
+    f_rest_layout: "inria" (default) transposes the file's channel-major
+      f_rest block to the coefficient-major layout the SH evaluators
+      assume (notes/util_gau.py:82-84); "raw" reproduces the Rust
+      loader's verbatim copy (src/gaussians.rs:276-279, PARITY.md) which
+      mis-interleaves SH bands >= 1.
     """
     if native is None:
         native = not os.environ.get("SPLAT_TPU_NO_NATIVE")
+    if f_rest_layout != "inria":
+        native = False       # the C++ fast path hard-codes the transpose
     if native:
         try:
             from splat_tpu.native.loader import (NativeUnsupported,
@@ -213,7 +236,8 @@ def load_ply(path: str | os.PathLike, *, center: bool = True,
             return load_ply_native(path, center=center)
         except NativeUnsupported:
             pass
-    return arrays_to_scene(read_ply_arrays(path), center=center)
+    return arrays_to_scene(read_ply_arrays(path), center=center,
+                           f_rest_layout=f_rest_layout)
 
 
 def save_ply(path: str | os.PathLike, scene: GaussianScene) -> None:

@@ -197,6 +197,12 @@ def project_gaussians(scene, camera: Camera,
     fx, fy, cx0, cy0 = camera.intrinsics_px()
     (mx, my, mz), q4, s3, opacity, shs = _scene_cols(scene)
 
+    if config.cov3d_transpose:
+        # Notebook convention R^T diag(s^2) R (PARITY.md): conjugating
+        # the quaternion transposes its rotation matrix, so the same
+        # elementwise cov6 math serves both orderings.
+        qw, qx, qy, qz = q4
+        q4 = (qw, -qx, -qy, -qz)
     cov6 = compute_cov6_cols(q4, s3)
 
     # Camera-space position, elementwise (view rows broadcast over N).
@@ -266,7 +272,8 @@ def project_gaussians(scene, camera: Camera,
     # back), so its colors don't follow the orbit.  Using the true eye is
     # the physically-correct behavior; the oracle shares this convention and
     # tests/test_render_parity.py pins it at nonzero yaw.  See PARITY.md.
-    eye = camera.eye()
+    # config.sh_stale_eye opts back into the reference's stale-eye bug.
+    eye = camera.sh_eye(config.sh_stale_eye)
     rdx = mx - eye[0]
     rdy = my - eye[1]
     rdz = mz - eye[2]

@@ -114,6 +114,8 @@ def _auto_depth_range(d, view, intr, h, w, znear, config):
         if depth <= znear or d["opacities"][i] < config.alpha_min:
             continue
         rot = _np_quat_to_rot(d["quats"][i])
+        if config.cov3d_transpose:
+            rot = rot.T            # notebook R^T S^2 R (PARITY.md)
         cov3d = rot @ np.diag(d["scales"][i] ** 2) @ rot.T
         w2 = view[:3, :3].T[:, :2]
         sc = np.array([fx, fy]) / pos_cam[2]
@@ -166,8 +168,15 @@ def render_oracle(scene, camera, config: RenderConfig | None = None):
         cx0 = float(jax.device_get(cam_ss.cx))
         cy0 = float(jax.device_get(cam_ss.cy))
         eye = -view[:3, :3].T @ view[:3, 3]
+        sh_origin = eye            # no orbit state to go stale
     else:
         eye = np.asarray(jax.device_get(camera.eye()), np.float64)
+        # sh_stale_eye: SH rays from the UN-ORBITED base position, the
+        # reference viewer's stale-state bug (src/pipelines.rs:99;
+        # PARITY.md) — the view matrix still uses the orbited eye.
+        sh_origin = (np.asarray(jax.device_get(camera.position),
+                                np.float64)
+                     if config.sh_stale_eye else eye)
         target = np.asarray(jax.device_get(camera.target), np.float64)
         up = np.asarray(jax.device_get(camera.up), np.float64)
         fovy = float(jax.device_get(camera.fovy))
@@ -203,6 +212,8 @@ def render_oracle(scene, camera, config: RenderConfig | None = None):
         if depth <= znear:
             continue
         rot = _np_quat_to_rot(d["quats"][i])
+        if config.cov3d_transpose:
+            rot = rot.T            # notebook R^T S^2 R (PARITY.md)
         cov3d = rot @ np.diag(d["scales"][i] ** 2) @ rot.T
         w2 = view[:3, :3].T[:, :2]
         sc = np.array([fx, fy]) / pos_cam[2]
@@ -231,7 +242,7 @@ def render_oracle(scene, camera, config: RenderConfig | None = None):
         if x1 >= x2 or y1 >= y2:
             continue
 
-        raydir = mean - eye
+        raydir = mean - sh_origin
         raydir = raydir / np.linalg.norm(raydir)
         color = _np_eval_sh(d["sh"][i], raydir, config.sh_degree)
         if config.render_mode == "depth":
